@@ -1,0 +1,200 @@
+"""Bounded 3D volumes as JAX pytrees.
+
+TPU-native re-design of Volume/BoundedVolume
+(include/kangaroo/Volume.h:21-370, BoundedVolume.h:10-170). Voxel data is an
+HBM-resident ``(D, H, W)`` array indexed ``data[z, y, x]``; the world-space
+AABB rides along as a :class:`~kangaroo_tpu.containers.bbox.BoundingBox`.
+
+The interleaved ``SDF_t {val, w}`` struct (Sdf.h:11-36) becomes two planar
+arrays in :class:`TsdfVolume` — structure-of-arrays is the vectorizer-friendly
+layout on TPU.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import struct
+
+from .bbox import BoundingBox
+
+
+def _trilinear_gather(data, pf):
+    """Shared trilinear kernel; pf is (..., 3) in voxel coordinates (x, y, z).
+
+    Matches Volume::GetFractionalTrilinearClamped (Volume.h:224-253): base
+    indices clamped to [0, n-2], fractions relative to the clamped base.
+    """
+    D, H, W = data.shape[:3]
+    fx, fy, fz = pf[..., 0], pf[..., 1], pf[..., 2]
+    ix = jnp.clip(jnp.floor(fx), 0, W - 2).astype(jnp.int32)
+    iy = jnp.clip(jnp.floor(fy), 0, H - 2).astype(jnp.int32)
+    iz = jnp.clip(jnp.floor(fz), 0, D - 2).astype(jnp.int32)
+    gx = fx - ix
+    gy = fy - iy
+    gz = fz - iz
+
+    def at(dz, dy, dx):
+        return data[iz + dz, iy + dy, ix + dx].astype(jnp.float32)
+
+    c00 = at(0, 0, 0) * (1 - gx) + at(0, 0, 1) * gx
+    c01 = at(0, 1, 0) * (1 - gx) + at(0, 1, 1) * gx
+    c10 = at(1, 0, 0) * (1 - gx) + at(1, 0, 1) * gx
+    c11 = at(1, 1, 0) * (1 - gx) + at(1, 1, 1) * gx
+    c0 = c00 * (1 - gy) + c01 * gy
+    c1 = c10 * (1 - gy) + c11 * gy
+    return c0 * (1 - gz) + c1 * gz
+
+
+@struct.dataclass
+class BoundedVolume:
+    """A scalar voxel grid with world-space bounds."""
+
+    data: jnp.ndarray  # (D, H, W), indexed [z, y, x]
+    bbox: BoundingBox
+
+    @classmethod
+    def create(cls, w: int, h: int, d: int, bbox: BoundingBox | None = None,
+               dtype=jnp.float32, fill=0.0) -> "BoundedVolume":
+        if bbox is None:
+            bbox = BoundingBox.create()
+        return cls(jnp.full((d, h, w), fill, dtype), bbox)
+
+    # --- dimensions (BoundedVolume.h:61-76) ---------------------------------
+    @property
+    def w(self) -> int:
+        return self.data.shape[2]
+
+    @property
+    def h(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def d(self) -> int:
+        return self.data.shape[0]
+
+    def size_units(self):
+        return self.bbox.size()
+
+    def voxel_size_units(self):
+        n = jnp.array([self.w - 1, self.h - 1, self.d - 1], jnp.float32)
+        return self.bbox.size() / n
+
+    # --- world-space access (BoundedVolume.h:93-131) ------------------------
+    def _world_to_voxel(self, pos_w):
+        frac = (jnp.asarray(pos_w) - self.bbox.lo) / self.bbox.size()
+        n = jnp.array([self.w - 1, self.h - 1, self.d - 1], jnp.float32)
+        return frac * n
+
+    def voxel_positions(self):
+        """World position of every voxel center -> (D, H, W, 3).
+
+        BoundedVolume::VoxelPositionInUnits (BoundedVolume.h:115-125).
+        """
+        z, y, x = jnp.mgrid[0 : self.d, 0 : self.h, 0 : self.w].astype(jnp.float32)
+        n = jnp.array([self.w - 1, self.h - 1, self.d - 1], jnp.float32)
+        frac = jnp.stack([x, y, z], axis=-1) / n
+        return self.bbox.lo + frac * self.bbox.size()
+
+    def sample_trilinear_world(self, pos_w):
+        """GetUnitsTrilinearClamped (BoundedVolume.h:93-98)."""
+        return _trilinear_gather(self.data, self._world_to_voxel(pos_w))
+
+    def grad_backward_world(self, pos_w):
+        """GetUnitsBackwardDiffDxDyDz (BoundedVolume.h:100-106).
+
+        Trilinearly-interpolated backward differences with base index clamped
+        to [1, n-2] (Volume.h:269-297), divided by voxel size.
+        """
+        data = self.data.astype(jnp.float32)
+        pf = self._world_to_voxel(pos_w)
+        D, H, W = data.shape
+        fx, fy, fz = pf[..., 0], pf[..., 1], pf[..., 2]
+        ix = jnp.clip(jnp.floor(fx), 1, W - 2).astype(jnp.int32)
+        iy = jnp.clip(jnp.floor(fy), 1, H - 2).astype(jnp.int32)
+        iz = jnp.clip(jnp.floor(fz), 1, D - 2).astype(jnp.int32)
+        gx = fx - ix
+        gy = fy - iy
+        gz = fz - iz
+
+        def bdiff(dz, dy, dx):
+            z, y, x = iz + dz, iy + dy, ix + dx
+            v0 = data[z, y, x]
+            return jnp.stack(
+                [v0 - data[z, y, x - 1], v0 - data[z, y - 1, x], v0 - data[z - 1, y, x]],
+                axis=-1,
+            )
+
+        gxe = gx[..., None]
+        gye = gy[..., None]
+        gze = gz[..., None]
+        c00 = bdiff(0, 0, 0) * (1 - gxe) + bdiff(0, 0, 1) * gxe
+        c01 = bdiff(0, 1, 0) * (1 - gxe) + bdiff(0, 1, 1) * gxe
+        c10 = bdiff(1, 0, 0) * (1 - gxe) + bdiff(1, 0, 1) * gxe
+        c11 = bdiff(1, 1, 0) * (1 - gxe) + bdiff(1, 1, 1) * gxe
+        c0 = c00 * (1 - gye) + c01 * gye
+        c1 = c10 * (1 - gye) + c11 * gye
+        deriv = c0 * (1 - gze) + c1 * gze
+        return deriv / self.voxel_size_units()
+
+    def image_xy(self, z: int):
+        """z-slice (Volume::ImageXY, Volume.h:305)."""
+        return self.data[z]
+
+    def image_xz(self, y: int):
+        """y-slice (Volume::ImageXZ, Volume.h:316)."""
+        return self.data[:, y, :]
+
+
+@struct.dataclass
+class TsdfVolume:
+    """Truncated signed-distance volume: planar (val, w) arrays + bounds.
+
+    Replaces BoundedVolume<SDF_t> (Sdf.h:11-36 + BoundedVolume.h).
+    """
+
+    val: jnp.ndarray  # (D, H, W) float32 signed distance
+    weight: jnp.ndarray  # (D, H, W) float32 accumulation weight
+    bbox: BoundingBox
+
+    @classmethod
+    def create(cls, w: int, h: int, d: int, bbox: BoundingBox | None = None,
+               trunc_dist=1.0) -> "TsdfVolume":
+        """Allocates in the SdfReset state: val=trunc_dist, w=0 (cu_sdffusion.cu:144-169)."""
+        if bbox is None:
+            bbox = BoundingBox.create()
+        return cls(
+            jnp.full((d, h, w), trunc_dist, jnp.float32),
+            jnp.zeros((d, h, w), jnp.float32),
+            bbox,
+        )
+
+    @property
+    def w(self) -> int:
+        return self.val.shape[2]
+
+    @property
+    def h(self) -> int:
+        return self.val.shape[1]
+
+    @property
+    def d(self) -> int:
+        return self.val.shape[0]
+
+    def as_bounded(self) -> BoundedVolume:
+        return BoundedVolume(self.val, self.bbox)
+
+    def reset(self, trunc_dist) -> "TsdfVolume":
+        return TsdfVolume(
+            jnp.full_like(self.val, trunc_dist), jnp.zeros_like(self.weight), self.bbox
+        )
+
+    def voxel_size_units(self):
+        return self.as_bounded().voxel_size_units()
+
+    def voxel_positions(self):
+        return self.as_bounded().voxel_positions()
+
+    def sample_trilinear_world(self, pos_w):
+        return self.as_bounded().sample_trilinear_world(pos_w)
+
+    def grad_backward_world(self, pos_w):
+        return self.as_bounded().grad_backward_world(pos_w)

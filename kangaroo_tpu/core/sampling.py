@@ -1,0 +1,151 @@
+"""Image sampling / interpolation primitives.
+
+TPU-native equivalent of include/kangaroo/sampling.h and the interpolated
+accessors on Image (include/kangaroo/Image.h:282-400): clamped integer access,
+bilinear / bicubic / Catmull-Rom sampling, central differences, and bounds
+tests. Images are (H, W) or (H, W, C) arrays; the pixel at column x, row y is
+``img[y, x]`` (the reference's ``img(x, y)``).
+
+All samplers take vectorized float/int coordinate arrays and gather with
+clamped indices, so out-of-bounds coordinates return edge values; callers that
+need reference-exact masking combine with :func:`in_bounds`.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _clip_xy(img, x, y):
+    return jnp.clip(x, 0, img.shape[1] - 1), jnp.clip(y, 0, img.shape[0] - 1)
+
+
+def get_clamped(img, x, y):
+    """Clamped integer access (Image.h GetWithClampedRange:298)."""
+    xi, yi = _clip_xy(img, jnp.asarray(x, jnp.int32), jnp.asarray(y, jnp.int32))
+    return img[yi, xi]
+
+
+def in_bounds(img, x, y, border=0):
+    """Image.h InBounds(float, float, border):288."""
+    return (
+        (x >= border)
+        & (x < img.shape[1] - border)
+        & (y >= border)
+        & (y < img.shape[0] - border)
+    )
+
+
+def bilinear(img, x, y):
+    """Bilinear sample at float coords (Image.h GetBilinear:319-335).
+
+    Indices are clamped so the sample is defined everywhere; inside the image
+    it matches the reference exactly.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    if img.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    ix0 = x0.astype(jnp.int32)
+    iy0 = y0.astype(jnp.int32)
+    ix1, iy1 = ix0 + 1, iy0 + 1
+    ix0, iy0 = _clip_xy(img, ix0, iy0)
+    ix1, iy1 = _clip_xy(img, ix1, iy1)
+    f = img.astype(jnp.float32)
+    tl = f[iy0, ix0]
+    tr = f[iy0, ix1]
+    bl = f[iy1, ix0]
+    br = f[iy1, ix1]
+    top = tl + (tr - tl) * fx
+    bot = bl + (br - bl) * fx
+    return top + (bot - top) * fy
+
+
+def nearest(img, x, y):
+    """Nearest-neighbour sample (Image.h GetNearestNeighbour:337)."""
+    return get_clamped(img, jnp.floor(x + 0.5).astype(jnp.int32), jnp.floor(y + 0.5).astype(jnp.int32))
+
+
+def central_diff(img, x, y):
+    """Central difference (dI/dx, dI/dy) at integer coords (Image.h:367-389)."""
+    xi = jnp.asarray(x, jnp.int32)
+    yi = jnp.asarray(y, jnp.int32)
+    dx = (get_clamped(img, xi + 1, yi).astype(jnp.float32) - get_clamped(img, xi - 1, yi)) / 2.0
+    dy = (get_clamped(img, xi, yi + 1).astype(jnp.float32) - get_clamped(img, xi, yi - 1)) / 2.0
+    return dx, dy
+
+
+def central_diff_bilinear(img, x, y):
+    """Central difference at float coords: bilinear blend of the four integer
+    central diffs (Image.h GetCentralDiff(float,float):391-414)."""
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    ix = jnp.floor(x).astype(jnp.int32)
+    iy = jnp.floor(y).astype(jnp.int32)
+    fx = x - jnp.floor(x)
+    fy = y - jnp.floor(y)
+    bldx, bldy = central_diff(img, ix, iy)
+    brdx, brdy = central_diff(img, ix + 1, iy)
+    tldx, tldy = central_diff(img, ix, iy + 1)
+    trdx, trdy = central_diff(img, ix + 1, iy + 1)
+    dx = (bldx + (brdx - bldx) * fx) * (1 - fy) + (tldx + (trdx - tldx) * fx) * fy
+    dy = (bldy + (brdy - bldy) * fx) * (1 - fy) + (tldy + (trdy - tldy) * fx) * fy
+    return dx, dy
+
+
+# --- cubic kernels (sampling.h:49-103) -------------------------------------
+
+
+def _cubic_bspline_weights(f):
+    f2 = f * f
+    f3 = f2 * f
+    w0 = (1.0 - 3.0 * f + 3.0 * f2 - f3) / 6.0
+    w1 = (4.0 - 6.0 * f2 + 3.0 * f3) / 6.0
+    w2 = (1.0 + 3.0 * f + 3.0 * f2 - 3.0 * f3) / 6.0
+    w3 = f3 / 6.0
+    return w0, w1, w2, w3
+
+
+def _catmull_rom_weights(f):
+    f2 = f * f
+    f3 = f2 * f
+    w0 = 0.5 * (-f + 2.0 * f2 - f3)
+    w1 = 0.5 * (2.0 - 5.0 * f2 + 3.0 * f3)
+    w2 = 0.5 * (f + 4.0 * f2 - 3.0 * f3)
+    w3 = 0.5 * (-f2 + f3)
+    return w0, w1, w2, w3
+
+
+def _cubic_sample(img, x, y, weight_fn):
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    ix = jnp.floor(x).astype(jnp.int32)
+    iy = jnp.floor(y).astype(jnp.int32)
+    fx = x - jnp.floor(x)
+    fy = y - jnp.floor(y)
+    wx = weight_fn(fx)
+    wy = weight_fn(fy)
+    if img.ndim == 3:
+        wx = tuple(w[..., None] for w in wx)
+        wy = tuple(w[..., None] for w in wy)
+    acc = 0.0
+    for j, wyj in enumerate(wy):
+        row = 0.0
+        for i, wxi in enumerate(wx):
+            row = row + wxi * get_clamped(img, ix + i - 1, iy + j - 1).astype(jnp.float32)
+        acc = acc + wyj * row
+    return acc
+
+
+def bicubic(img, x, y):
+    """Cubic B-spline sample (sampling.h:104-170)."""
+    return _cubic_sample(img, x, y, _cubic_bspline_weights)
+
+
+def catmull_rom(img, x, y):
+    """Catmull-Rom sample (sampling.h:171-278)."""
+    return _cubic_sample(img, x, y, _catmull_rom_weights)
