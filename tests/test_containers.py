@@ -147,7 +147,8 @@ class TestSampling:
     def test_in_bounds(self):
         img = jnp.zeros((10, 20))
         assert bool(sampling.in_bounds(img, 0.0, 0.0))
-        assert not bool(sampling.in_bounds(img, 19.5, 5.0))
+        assert not bool(sampling.in_bounds(img, 20.5, 5.0))
+        assert bool(sampling.in_bounds(img, 19.5, 5.0))
         assert not bool(sampling.in_bounds(img, 1.0, 1.0, border=2))
 
 
