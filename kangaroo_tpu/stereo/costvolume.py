@@ -1,0 +1,234 @@
+"""Cost-volume reductions: WTA disparity, subpixel refinement, auxiliary-step
+minimisation, edge weights, LR consistency, and photometric volumes.
+
+TPU-native equivalent of src/cu_dense_stereo.cu. Volumes are (D, H, W)
+float32; disparity images are (H, W) float32 (NaN = invalid) or int32 (-1 =
+invalid).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core import invalid as invalid_mod
+from ..core import sampling
+
+_BIG = jnp.float32(1e10)
+
+
+def _xr_valid(W: int, D: int, sd: int):
+    """Mask (D, W): is x + sd*d inside the image (cu_dense_stereo.cu:76-78)."""
+    x = jnp.arange(W)[None, :]
+    d = jnp.arange(D)[:, None]
+    xr = x + sd * d
+    return (xr >= 0) & (xr < W)
+
+
+def cost_vol_minimum(vol, max_disp: int | None = None):
+    """WTA argmin over d with per-x clip d < min(maxDisp, x+1)
+    (CostVolMinimum, cu_dense_stereo.cu:26-60). Returns int32 disparity."""
+    D, H, W = vol.shape
+    d = jnp.arange(D)[:, None, None]
+    x = jnp.arange(W)[None, None, :]
+    ok = d <= x
+    if max_disp is not None and max_disp < D:
+        ok = ok & (d < max_disp)
+    masked = jnp.where(ok, vol, _BIG)
+    return jnp.argmin(masked, axis=0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("sd",))
+def cost_vol_minimum_subpix(vol, sd: int = -1):
+    """WTA + parabola refinement (CostVolMinimumSubpix, cu_dense_stereo.cu:67-116).
+
+    Searches all d with x + sd*d in bounds; refines with the 3-point parabola
+    when the best match pixel is strictly interior and the fitted minimum lies
+    within (best-1, best+1).
+    """
+    D, H, W = vol.shape
+    ok = _xr_valid(W, D, sd)[:, None, :]
+    masked = jnp.where(ok, vol, _BIG)
+    bestd = jnp.argmin(masked, axis=0)
+    bestc = jnp.min(masked, axis=0)
+
+    dl = jnp.clip(bestd - 1, 0, D - 1)
+    dr = jnp.clip(bestd + 1, 0, D - 1)
+    sl = jnp.take_along_axis(vol, dl[None], axis=0)[0]
+    sr = jnp.take_along_axis(vol, dr[None], axis=0)[0]
+    denom = 2.0 * (sr - 2.0 * bestc + sl)
+    subpix = bestd - (sr - sl) / denom
+
+    x = jnp.arange(W)[None, :]
+    bestxr = x + sd * bestd
+    interior = (bestxr > 0) & (bestxr < W - 1)
+    sensible = (subpix > bestd - 1) & (subpix < bestd + 1)
+    return jnp.where(interior & sensible, subpix, bestd.astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("sd",))
+def cost_vol_minimum_square_penalty_subpix(vol, last_disp, lam, theta, sd: int = -1):
+    """Auxiliary-variable exhaustive search of the DTAM alternation:
+    argmin_d 1/(2 theta) (lastd - d)^2 + lambda C(x, d), plus Newton subpixel
+    step (CostVolMinimumSquarePenaltySubpix, cu_dense_stereo.cu:123-174)."""
+    D, H, W = vol.shape
+    inv2theta = 1.0 / (2.0 * theta)
+    d = jnp.arange(D, dtype=jnp.float32)[:, None, None]
+    cost = inv2theta * (last_disp[None] - d) ** 2 + lam * vol
+    ok = _xr_valid(W, D, sd)[:, None, :]
+    masked = jnp.where(ok, cost, _BIG)
+    bestd = jnp.argmin(masked, axis=0)
+    bestc = jnp.min(masked, axis=0)
+
+    # Parabola neighbours: the quadratic penalty is evaluated at the unclamped
+    # d+-1 while the volume read clamps the index (the reference reads out of
+    # bounds at the volume edge; we pin the read like the golden model).
+    dl = bestd - 1
+    dr = bestd + 1
+    vl = jnp.take_along_axis(vol, jnp.clip(dl, 0, D - 1)[None], axis=0)[0]
+    vr = jnp.take_along_axis(vol, jnp.clip(dr, 0, D - 1)[None], axis=0)[0]
+    cl = inv2theta * (last_disp - dl) ** 2 + lam * vl
+    cr = inv2theta * (last_disp - dr) ** 2 + lam * vr
+    subpix = bestd - (cr - cl) / (2.0 * (cr - 2.0 * bestc + cl))
+
+    x = jnp.arange(W)[None, :]
+    bestxr = x + sd * bestd
+    interior = (bestxr > 0) & (bestxr < W - 1)
+    sensible = (subpix > bestd - 1) & (subpix < bestd + 1)
+    return jnp.where(interior & sensible, subpix, bestd.astype(jnp.float32))
+
+
+@jax.jit
+def exponential_edge_weight(img, alpha, beta):
+    """g = exp(-alpha * |grad I|^beta) (ExponentialEdgeWeight,
+    cu_dense_stereo.cu:180-202). Gradients are zero on the image border."""
+    H, W = img.shape
+    gx = (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)) / 2.0
+    gy = (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)) / 2.0
+    x = jnp.arange(W)[None, :]
+    y = jnp.arange(H)[:, None]
+    gx = jnp.where((x > 0) & (x < W - 1), gx, 0.0)
+    gy = jnp.where((y > 0) & (y < H - 1), gy, 0.0)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    return jnp.exp(-alpha * jnp.power(mag, beta))
+
+
+@functools.partial(jax.jit, static_argnames=("sd",))
+def left_right_check(disp_l, disp_r, sd: int = -1, max_diff=0.5):
+    """Invalidate left disparities inconsistent with the right image's
+    (LeftRightCheck, cu_dense_stereo.cu:512-546). Float disparities only;
+    invalid = NaN."""
+    H, W = disp_l.shape
+    x = jnp.arange(W, dtype=jnp.float32)[None, :]
+    xr = x + sd * disp_l
+    in_img = (xr >= 0) & (xr < W)
+    xi = jnp.clip(xr, 0, W - 1).astype(jnp.int32)
+    dr = jnp.take_along_axis(disp_r, xi, axis=1)
+    ok = in_img & invalid_mod.is_valid(dr) & (jnp.abs(disp_l - dr) <= max_diff)
+    return jnp.where(ok, disp_l, jnp.nan)
+
+
+@jax.jit
+def filter_disp_grad(disp, threshold):
+    """Invalidate (set -1) pixels whose disparity gradient magnitude^2 exceeds
+    threshold (FilterDispGrad, cu_dense_stereo.cu:793-812)."""
+    dx, dy = _central_diff_image(disp)
+    valid = dx * dx + dy * dy < threshold
+    return jnp.where(valid, disp, -1.0)
+
+
+def _central_diff_image(img):
+    dx = (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1)) / 2.0
+    dy = (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0)) / 2.0
+    # clamped boundary: reference GetCentralDiff reads clamped neighbours
+    dx = dx.at[:, 0].set((img[:, 1] - img[:, 0]) / 2.0)
+    dx = dx.at[:, -1].set((img[:, -1] - img[:, -2]) / 2.0)
+    dy = dy.at[0].set((img[1] - img[0]) / 2.0)
+    dy = dy.at[-1].set((img[-1] - img[-2]) / 2.0)
+    return dx, dy
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "sd"))
+def cost_volume_from_stereo_truncated_abs_and_grad(
+    img_l, img_r, max_disp: int, sd: int = -1, alpha=0.0, r1=1e37, r2=1e37
+):
+    """Truncated |dI| + |d(gradx I)| matching cost (Rhemann et al.;
+    CostVolumeFromStereoTruncatedAbsAndGrad, cu_dense_stereo.cu:820-848).
+
+    Note the reference kernel overrides alpha=0, r1=1e37 internally
+    (cu_dense_stereo.cu:829-830); defaults here reproduce that behaviour but
+    the parameters are honoured when passed.
+    """
+    H, W = img_l.shape
+    gx_l, _ = _central_diff_image(img_l)
+    gx_r, _ = _central_diff_image(img_r)
+    x = jnp.arange(W)
+
+    def slice_d(d):
+        xr = x + sd * d
+        ok = (xr >= 0) & (xr < W)
+        xi = jnp.clip(xr, 0, W - 1)
+        abs_i = jnp.abs(img_r[:, xi] - img_l)
+        abs_g = jnp.abs(gx_r[:, xi] - gx_l)
+        cost = (1.0 - alpha) * jnp.minimum(abs_i, r1) + alpha * jnp.minimum(abs_g, r2)
+        oob = (1.0 - alpha) * r1 + alpha * r2
+        return jnp.where(ok[None, :], cost, oob)
+
+    return jnp.stack([slice_d(d) for d in range(max_disp)], axis=0)
+
+
+# --- CostVolElem volumes (running mean accumulators) ------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "sd", "rad"))
+def cost_volume_from_stereo(img_l, img_r, max_disp: int, sd: int = -1, rad: int = 2):
+    """Zero-mean SAD (SAND) patch cost volume as a running-mean accumulator
+    (CostVolumeFromStereo, cu_dense_stereo.cu:668-689). Returns (n, sum) with
+    n = 1 inside the valid region, 0 outside (CostVolElem.h:10-19)."""
+    H, W = img_l.shape
+    f_l = img_l.astype(jnp.float32)
+    f_r = img_r.astype(jnp.float32)
+
+    # patch sums via separable box filters (zero padding like raw patch reads
+    # guarded by the InBounds test below)
+    def box(img):
+        k = 2 * rad + 1
+        s = jnp.cumsum(jnp.pad(img, ((rad + 1, rad), (0, 0))), axis=0)
+        img = s[k:] - s[:-k]
+        s = jnp.cumsum(jnp.pad(img, ((0, 0), (rad + 1, rad))), axis=1)
+        return s[:, k:] - s[:, :-k]
+
+    n_pix = (2 * rad + 1) ** 2
+    mean_l = box(f_l) / n_pix
+    mean_r = box(f_r) / n_pix
+
+    x = jnp.arange(W)
+    y = jnp.arange(H)[:, None]
+    in_l = (x[None, :] >= rad) & (x[None, :] < W - rad) & (y >= rad) & (y < H - rad)
+
+    def zm_patch_sad(d):
+        xr = x + sd * d
+        okx = (xr >= rad) & (xr < W - rad)
+        xi = jnp.clip(xr, 0, W - 1)
+        acc = jnp.zeros((H, W), jnp.float32)
+        for dy in range(-rad, rad + 1):
+            ys = jnp.clip(y + dy, 0, H - 1)[:, 0]
+            row_l = f_l[ys][:, :]
+            row_r = f_r[ys][:, :]
+            for dx in range(-rad, rad + 1):
+                xl = jnp.clip(x + dx, 0, W - 1)
+                xrr = jnp.clip(xi + dx, 0, W - 1)
+                acc = acc + jnp.abs(
+                    (row_l[:, xl] - mean_l) - (row_r[:, xrr] - mean_r[:, xi])
+                )
+        ok = in_l & okx[None, :]
+        return jnp.where(ok, acc, 0.0), ok.astype(jnp.float32)
+
+    sums, ns = zip(*[zm_patch_sad(d) for d in range(max_disp)])
+    return jnp.stack(ns, 0), jnp.stack(sums, 0)
+
+
+def cost_elem_to_float(n, s):
+    """CostVolElem::operator float: sum/n, 1e30 when n == 0 (CostVolElem.h:14-18)."""
+    return jnp.where(n > 0, s / jnp.maximum(n, 1.0), 1e30)
