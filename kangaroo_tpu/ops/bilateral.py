@@ -1,0 +1,84 @@
+"""Bilateral filtering.
+
+TPU-native equivalent of src/cu_bilateral.cu's three overloads: plain
+spatial+range (:13-53), min-value masked for depth maps (:59-104, used on
+Kinect depth with minval=0.2), and cross/joint bilateral guided by a second
+image (:110-155). Brute-force window, exp weights, clamped borders.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _offsets(size: int):
+    return [(r, c) for r in range(-size, size + 1) for c in range(-size, size + 1)]
+
+
+def _shift(padded, r, c, H, W, size):
+    return jax.lax.dynamic_slice(padded, (size + r, size + c), (H, W))
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def bilateral(img, gs, gr, size: int = 5):
+    """Plain bilateral filter (cu_bilateral.cu:13-53)."""
+    f = img.astype(jnp.float32)
+    H, W = f.shape
+    padded = jnp.pad(f, size, mode="edge")
+    inv2gs2 = -1.0 / (2.0 * gs * gs)
+    inv2gr2 = -1.0 / (2.0 * gr * gr)
+    s = jnp.zeros_like(f)
+    sw = jnp.zeros_like(f)
+    for r, c in _offsets(size):
+        q = _shift(padded, r, c, H, W, size)
+        w = jnp.exp((r * r + c * c) * inv2gs2) * jnp.exp((f - q) ** 2 * inv2gr2)
+        s = s + w * q
+        sw = sw + w
+    return s / sw
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def bilateral_above_min(img, gs, gr, size: int, minval):
+    """Bilateral filter ignoring samples below minval; pixels whose centre is
+    below minval pass through unchanged (cu_bilateral.cu:59-104 — the depth
+    cleanup used by KinectFusion, kinectfusion/main.cpp:209). NaN centres stay
+    NaN."""
+    f = img.astype(jnp.float32)
+    H, W = f.shape
+    padded = jnp.pad(f, size, mode="edge")
+    inv2gs2 = -1.0 / (2.0 * gs * gs)
+    inv2gr2 = -1.0 / (2.0 * gr * gr)
+    s = jnp.zeros_like(f)
+    sw = jnp.zeros_like(f)
+    for r, c in _offsets(size):
+        q = _shift(padded, r, c, H, W, size)
+        ok = q >= minval
+        w = jnp.where(ok, jnp.exp((r * r + c * c) * inv2gs2) * jnp.exp((f - q) ** 2 * inv2gr2), 0.0)
+        s = s + w * jnp.where(ok, q, 0.0)
+        sw = sw + w
+    out = s / sw
+    return jnp.where(f >= minval, out, f)
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def bilateral_cross(img, guide, gs, gr, size: int):
+    """Cross/joint bilateral: range weights from ``guide``, values from
+    ``img`` (cu_bilateral.cu:110-155)."""
+    f = img.astype(jnp.float32)
+    g = guide.astype(jnp.float32)
+    H, W = f.shape
+    pf = jnp.pad(f, size, mode="edge")
+    pg = jnp.pad(g, size, mode="edge")
+    inv2gs2 = -1.0 / (2.0 * gs * gs)
+    inv2gr2 = -1.0 / (2.0 * gr * gr)
+    s = jnp.zeros_like(f)
+    sw = jnp.zeros_like(f)
+    for r, c in _offsets(size):
+        q = _shift(pf, r, c, H, W, size)
+        qg = _shift(pg, r, c, H, W, size)
+        w = jnp.exp((r * r + c * c) * inv2gs2) * jnp.exp((g - qg) ** 2 * inv2gr2)
+        s = s + w * q
+        sw = sw + w
+    return s / sw
