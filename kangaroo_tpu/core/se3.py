@@ -86,11 +86,12 @@ def generator_products(p):
     return jnp.stack([g0, g1, g2, g3, g4, g5], axis=-2)
 
 
-def plane_b_from_a(T_ba, n_a):
-    """Transform plane normal n/d representation (Plane_b_from_a, MatUtils.h:475)."""
+def plane_b_from_a(T_ab, n_a):
+    """Transform plane n.x = -1 params: n_b = R^T n_a / (t . n_a + 1)
+    (Plane_b_from_a, MatUtils.h:475-488)."""
     n_a = jnp.asarray(n_a)
-    den = 1.0 - jnp.dot(n_a, rotate_inv(T_ba, translation(T_ba)))
-    return rotate(T_ba, n_a) / den
+    den = jnp.dot(translation(T_ab), n_a) + 1.0
+    return rotate_inv(T_ab, n_a) / den
 
 
 def skew(w):

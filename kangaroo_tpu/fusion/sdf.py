@@ -1,0 +1,120 @@
+"""Truncated signed-distance fusion (KinectFusion).
+
+TPU-native equivalent of src/cu_sdffusion.cu: SdfFuse (Newcombe et al.
+KinectFusion, :16-61), the colour-volume overload (Whelan et al. Kintinuous,
+:70-138), SdfReset (:144-169), SdfSphere (:175-195) and SdfDistance
+(:201-224).
+
+The CUDA kernel runs one thread per voxel; here the whole (D, H, W) voxel
+lattice updates in one fused XLA computation: project every voxel into the
+depth image, gather bilinear depth/normal samples, and blend — a pure
+function from (volume, frame) to volume, jit-compiled and differentiable.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..containers.volume import BoundedVolume, TsdfVolume
+from ..core import sampling, se3
+
+
+def _project_voxels(vol, depth, normals, T_cw, K):
+    """Common geometry: world voxels -> camera -> pixel samples."""
+    P_w = vol.voxel_positions()  # (D, H, W, 3)
+    P_c = se3.transform(T_cw, P_w)
+    p = K.project(P_c)  # (D, H, W, 2)
+    u, v = p[..., 0], p[..., 1]
+    in_img = sampling.in_bounds(depth, u, v, 2)
+    md = sampling.bilinear(depth, u, v)
+    mdn = sampling.bilinear(normals, u, v)[..., :3]
+    vd = P_c[..., 2]
+    costheta = jnp.sum(mdn * P_c, axis=-1) / -jnp.linalg.norm(P_c, axis=-1)
+    sd = costheta * (md - vd)
+    w = costheta / vd
+    return in_img, md, sd, w, costheta, P_w
+
+
+def sdf_fuse(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist, max_w=1000.0,
+             mincostheta=0.1) -> TsdfVolume:
+    """Fuse one depth frame into the TSDF (SdfFuse, cu_sdffusion.cu:16-61).
+
+    depth: (Hi, Wi) metres; normals: (Hi, Wi, 4) camera-frame normals with
+    w=1 valid flag; T_cw: (3, 4) world->camera; K: Intrinsics.
+    """
+    in_img, md, sd, w, costheta, _ = _project_voxels(vol, depth, normals, T_cw, K)
+    update = (
+        in_img
+        & (sd > -trunc_dist)
+        & jnp.isfinite(md)
+        & jnp.isfinite(w)
+        & (costheta > mincostheta)
+    )
+    # NaN-safe: zero both weight and value on masked-out voxels, otherwise
+    # NaN depths poison the blend through 0 * NaN.
+    new_sd = jnp.where(update, jnp.clip(sd, -trunc_dist, trunc_dist), 0.0)
+    w_new = jnp.where(update, w, 0.0)
+    # SDF_t::operator+= (Sdf.h:25-32): weighted average, then LimitWeight.
+    w_tot = vol.weight + w_new
+    val = jnp.where(
+        w_tot > 0, (vol.weight * vol.val + w_new * new_sd) / jnp.maximum(w_tot, 1e-20), vol.val
+    )
+    w_tot = jnp.minimum(w_tot, max_w)
+    return TsdfVolume(val, w_tot, vol.bbox)
+
+
+def sdf_fuse_color(vol: TsdfVolume, color_vol: BoundedVolume, depth, normals,
+                   T_cw, K, img, T_iw, K_img, trunc_dist, max_w=1000.0,
+                   mincostheta=0.1):
+    """Colour-fusing variant (cu_sdffusion.cu:70-138). img is (Hc, Wc, 3)
+    uint8/float; grey intensity is blended into color_vol."""
+    in_img, md, sd, w, costheta, P_w = _project_voxels(vol, depth, normals, T_cw, K)
+    P_i = se3.transform(T_iw, P_w)
+    p_i = K_img.project(P_i)
+    in_c = sampling.in_bounds(img, p_i[..., 0], p_i[..., 1], 2)
+    rgb = sampling.bilinear(img, p_i[..., 0], p_i[..., 1])
+    grey = jnp.mean(rgb, axis=-1) / 255.0  # ConvertPixel<float,float3>/255
+
+    update = (
+        in_img
+        & in_c
+        & (sd > -trunc_dist)
+        & jnp.isfinite(md)
+        & jnp.isfinite(w)
+        & (costheta > mincostheta)
+    )
+    new_sd = jnp.where(update, jnp.clip(sd, -trunc_dist, trunc_dist), 0.0)
+    w_new = jnp.where(update, w, 0.0)
+    grey = jnp.where(update, grey, 0.0)
+    w_tot = vol.weight + w_new
+    val = jnp.where(
+        w_tot > 0, (vol.weight * vol.val + w_new * new_sd) / jnp.maximum(w_tot, 1e-20), vol.val
+    )
+    colour = jnp.where(
+        update,
+        (w_new * grey + color_vol.data * vol.weight) / jnp.maximum(w_new + vol.weight, 1e-20),
+        color_vol.data,
+    )
+    w_lim = jnp.minimum(w_tot, max_w)
+    return TsdfVolume(val, w_lim, vol.bbox), BoundedVolume(colour, color_vol.bbox)
+
+
+def sdf_reset(vol: TsdfVolume, trunc_dist) -> TsdfVolume:
+    """val=trunc_dist, w=0 (SdfReset, cu_sdffusion.cu:144-169)."""
+    return vol.reset(trunc_dist)
+
+
+def sdf_sphere(vol: TsdfVolume, center, r) -> TsdfVolume:
+    """Analytic sphere SDF with weight 1 (SdfSphere, cu_sdffusion.cu:175-195)."""
+    pos = vol.voxel_positions()
+    dist = jnp.linalg.norm(pos - jnp.asarray(center, jnp.float32), axis=-1)
+    return TsdfVolume(dist - r, jnp.ones_like(vol.weight), vol.bbox)
+
+
+def sdf_distance(depth, vol: TsdfVolume, T_wc, K):
+    """Sample the SDF at each depth-map point (SdfDistance,
+    cu_sdffusion.cu:201-224)."""
+    H, W = depth.shape
+    p_c = K.unproject_grid(W, H, depth)
+    p_w = se3.transform(T_wc, p_c)
+    return vol.sample_trilinear_world(p_w)
