@@ -1,0 +1,211 @@
+"""KinectFusion: dense TSDF SLAM pipeline.
+
+TPU-native re-implementation of applications/kinectfusion/main.cpp:190-360:
+depth -> bilateral -> NaN-aware pyramid -> point/normal images; multi-level
+projective point-plane ICP against a raycast of the TSDF; TSDF fusion
+(+ optional colour); mesh/volume export. The Pangolin Var panel becomes
+:class:`KinectFusionConfig`; the GL view becomes offline renders.
+
+The per-frame compute (preprocess, raycast, ICP iterations, fuse) is one
+jitted function per stage; ICP's 6x6 solve happens on-device and only the
+rmse gate crosses to the host.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import BoundingBox, Intrinsics, TsdfVolume
+from ..containers import pyramid as pyr_mod
+from ..core import se3
+from ..fusion import raycast as rc
+from ..fusion import sdf as sdf_mod
+from ..geometry import depth as depth_mod
+from ..ops import bilateral as bf
+from ..solvers import icp as icp_mod
+from ..solvers.lss import LSS
+
+
+@dataclasses.dataclass
+class KinectFusionConfig:
+    """Defaults mirror the app's pangolin::Vars (kinectfusion/main.cpp:51-163)."""
+
+    w: int = 640
+    h: int = 480
+    vol_res: int = 256
+    vol_extent: float = 1.0  # reset_bb spans [-extent, extent]^3
+    max_levels: int = 4
+    its: tuple = (1, 0, 2, 3)  # ICP iterations per level, fine -> coarse
+    bilateral_size: int = 3  # ui.size
+    bilateral_gs: float = 1.5  # ui.gs
+    bilateral_gr: float = 0.1  # ui.gr
+    bilateral_minval: float = 0.2  # BilateralFilter(..., 0.2) main.cpp:209
+    icp_c: float = 0.1  # ui.icp c
+    trunc_dist_factor: float = 2.0  # ui.trunc vol factor
+    max_w: float = 1000.0  # ui.max w
+    min_cos_theta: float = 0.1  # ui.min cos theta
+    max_rmse: float = 0.10  # ui.Max RMSE
+    near: float = 0.1  # knear
+    far: float = 4.0  # kfar
+    motion_prior: float = 0.1 / 0.2  # depthSigma/motionSigma (main.cpp:315-318)
+    depth_scale: float = 1.0  # 1/1000 for mm inputs
+
+
+def preprocess_depth(depth_raw, K: Intrinsics, cfg: KinectFusionConfig):
+    """ScaleBias -> masked bilateral -> NaN-aware pyramid -> points+normals
+    (main.cpp:208-215). Returns (depth_pyr, vbo_pyr, normal_pyr)."""
+    meters = depth_raw.astype(jnp.float32) * cfg.depth_scale
+    filtered = bf.bilateral_above_min(
+        meters, cfg.bilateral_gs, cfg.bilateral_gr, cfg.bilateral_size,
+        cfg.bilateral_minval,
+    )
+    d_pyr = pyr_mod.box_reduce_ignore_invalid(filtered, cfg.max_levels)
+    v_pyr = []
+    n_pyr = []
+    for l, d in enumerate(d_pyr):
+        v = depth_mod.depth_to_vbo(d, K.level(l))
+        v_pyr.append(v)
+        n_pyr.append(depth_mod.normals_from_vbo(v))
+    return d_pyr, tuple(v_pyr), tuple(n_pyr)
+
+
+def raycast_model(vol: TsdfVolume, T_wl, K: Intrinsics, cfg: KinectFusionConfig,
+                  levels: Optional[list] = None):
+    """Predicted depth/normal/point pyramids by raycasting the model from the
+    current pose estimate (main.cpp:280-291)."""
+    trunc = cfg.trunc_dist_factor * float(
+        np.linalg.norm(np.asarray(vol.voxel_size_units()))
+    )
+    out_d, out_v, out_n = [], [], []
+    for l in range(cfg.max_levels):
+        if levels is not None and cfg.its[l] == 0:
+            out_d.append(None)
+            out_v.append(None)
+            out_n.append(None)
+            continue
+        Kl = K.level(l)
+        w_l, h_l = cfg.w >> l, cfg.h >> l
+        d, n, _ = rc.raycast_sdf(vol, T_wl, Kl, w_l, h_l, cfg.near, cfg.far,
+                                 trunc_dist=trunc, subpix=True)
+        out_d.append(d)
+        out_v.append(depth_mod.depth_to_vbo(d, Kl))
+        out_n.append(n)
+    return out_d, out_v, out_n
+
+
+def icp_refine(kin_v, ray_v, ray_n, K: Intrinsics, cfg: KinectFusionConfig):
+    """Multi-level projective point-plane ICP (main.cpp:293-336).
+
+    Returns (T_lp, rmse, tracking_good): the live-from-previous correction,
+    applied as T_wl <- T_wl * T_lp^-1.
+    """
+    T_lp = jnp.asarray(se3.identity())
+    rmse = jnp.zeros(())
+    for l in range(cfg.max_levels - 1, -1, -1):
+        if cfg.its[l] == 0:
+            continue
+        Kl = jnp.asarray(np.asarray(K.level(l).matrix()))
+        for _ in range(cfg.its[l]):
+            KT_lp = Kl @ T_lp
+            T_pl = se3.inverse(T_lp)
+            s = icp_mod.icp_point_plane(kin_v[l], ray_v[l], ray_n[l], KT_lp, T_pl, cfg.icp_c)
+            s_prior = LSS(
+                s.JTJ + cfg.motion_prior * jnp.eye(6, dtype=jnp.float32),
+                s.JTy, s.sqErr, s.obs,
+            )
+            rmse = s.rmse()
+            if l == cfg.max_levels - 1 and cfg.max_levels > 1:
+                x = -icp_mod.solve_pose_update(s_prior, rotation_only=True)
+            else:
+                x = -icp_mod.solve_pose_update(s_prior)
+            x = jnp.where(jnp.isfinite(x), x, 0.0)
+            T_lp = se3.compose(T_lp, se3.exp(x))
+    return T_lp, rmse
+
+
+class KinectFusion:
+    """Stateful driver matching the app's main loop."""
+
+    def __init__(self, K: Intrinsics, cfg: KinectFusionConfig = KinectFusionConfig()):
+        self.K = K
+        self.cfg = cfg
+        bb = BoundingBox.create((-cfg.vol_extent,) * 3, (cfg.vol_extent,) * 3)
+        self.vol = TsdfVolume.create(cfg.vol_res, cfg.vol_res, cfg.vol_res, bb,
+                                     trunc_dist=jnp.nan)  # SdfReset(NaN), main.cpp:224
+        self.T_wl = jnp.asarray(se3.identity())
+        self.frame = 0
+        self.tracking_good = True
+        self.rmse = 0.0
+
+    @property
+    def trunc_dist(self) -> float:
+        return self.cfg.trunc_dist_factor * float(
+            np.linalg.norm(np.asarray(self.vol.voxel_size_units()))
+        )
+
+    def reset(self, T_wl=None):
+        cfg = self.cfg
+        self.vol = self.vol.reset(jnp.nan)
+        self.T_wl = jnp.asarray(se3.identity() if T_wl is None else T_wl)
+        self.frame = 0
+
+    def process_frame(self, depth_raw, fuse: bool = True,
+                      pose_refinement: bool = True):
+        """One iteration of the main loop (main.cpp:190-360)."""
+        cfg = self.cfg
+        _, kin_v, kin_n = preprocess_depth(depth_raw, self.K, cfg)
+
+        if pose_refinement and self.frame > 0:
+            _, ray_v, ray_n = raycast_model(self.vol, self.T_wl, self.K, cfg,
+                                            levels=cfg.its)
+            T_lp, rmse = icp_refine(kin_v, ray_v, ray_n, self.K, cfg)
+            self.rmse = float(rmse)
+            self.tracking_good = self.rmse < cfg.max_rmse and np.isfinite(self.rmse)
+            if self.tracking_good:
+                self.T_wl = se3.compose(self.T_wl, se3.inverse(T_lp))
+
+        if fuse and self.tracking_good:
+            T_lw = se3.inverse(self.T_wl)
+            self.vol = sdf_mod.sdf_fuse(
+                self.vol, kin_v[0][..., 2], kin_n[0], T_lw, self.K,
+                self.trunc_dist, cfg.max_w, cfg.min_cos_theta,
+            )
+        self.frame += 1
+        return self.T_wl
+
+    def render(self, T_wc=None, level: int = 0):
+        """View-only raycast (main.cpp:244-271)."""
+        cfg = self.cfg
+        T = self.T_wl if T_wc is None else T_wc
+        Kl = self.K.level(level)
+        return rc.raycast_sdf(
+            self.vol, T, Kl, cfg.w >> level, cfg.h >> level, cfg.near, cfg.far,
+            trunc_dist=self.trunc_dist,
+        )
+
+    def save_mesh(self, path: str):
+        """'s' key: marching cubes -> mesh file (main.cpp:186-188)."""
+        from ..fusion import marching_cubes as mc
+
+        vol = TsdfVolume(
+            jnp.where(jnp.isfinite(self.vol.val), self.vol.val, self.trunc_dist),
+            self.vol.weight, self.vol.bbox,
+        )
+        tris = mc.extract_mesh(vol)
+        mc.save_ply(path, tris)
+        return tris
+
+    def save_volume(self, path: str):
+        from ..io import pxm
+
+        pxm.save_tsdf(path, self.vol)
+
+    def load_volume(self, path: str):
+        """'l' key: LoadPXM("save.vol", vol) (main.cpp:185)."""
+        from ..io import pxm
+
+        self.vol = pxm.load_tsdf(path)

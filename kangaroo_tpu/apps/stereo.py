@@ -1,0 +1,136 @@
+"""Variational (DTAM-style) stereo pipeline.
+
+TPU-native re-implementation of applications/stereo/main.cpp:280-495: census
+cost volume -> optional guided filtering -> Huber-ROF primal-dual with
+auxiliary exhaustive search and theta annealing -> median / left-right /
+gradient filtering -> depth map and point cloud. Var defaults from
+stereo/main.cpp:192-236.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import depth as depth_mod
+from ..ops import integral_image as ii
+from ..ops import median as median_mod
+from ..stereo import census as census_mod
+from ..stereo import costvolume as cv
+from ..variational import rof
+
+
+@dataclasses.dataclass
+class StereoConfig:
+    max_disp: int = 128  # MAXD (stereo/main.cpp:54)
+    census_window: str = "16x16"  # Census(ulong4) path (main.cpp:314)
+    use_census: bool = True
+    # DTAM (main.cpp:210-215)
+    theta_start: float = 100.0
+    theta_end: float = 1e-4
+    lam: float = 20.0
+    sigma_q: float = 0.7
+    sigma_d: float = 0.7
+    huber_alpha: float = 0.002
+    beta: float = 1e-5
+    # edge weights (main.cpp:207-208)
+    g_alpha: float = 14.0
+    g_beta: float = 2.5
+    # guided filter (main.cpp:222-224)
+    filter_volume: bool = False
+    filter_rad: int = 9
+    filter_eps: float = 1e-4
+    # post (main.cpp:225-235)
+    lr_check: bool = True
+    max_disp_diff: float = 1.0
+    median_its: int = 1
+    median_max_bad: int = 12
+    filt_grad_thresh: float = 0.0
+    dtam_iterations: int = 80  # host loop runs 5/frame until theta small
+
+
+def cost_volume(left, right, cfg: StereoConfig, sd: int = -1):
+    """Census (or truncated abs-grad) cost volume (main.cpp:314-331)."""
+    if cfg.use_census:
+        cl = census_mod.census(left, cfg.census_window)
+        cr = census_mod.census(right, cfg.census_window)
+        bits = census_mod.norm_bits(cfg.census_window)
+        if sd < 0:
+            return census_mod.census_cost_volume(cl, cr, cfg.max_disp, -1, bits)
+        return census_mod.census_cost_volume(cr, cl, cfg.max_disp, 1, bits)
+    imgs = (left, right) if sd < 0 else (right, left)
+    return cv.cost_volume_from_stereo_truncated_abs_and_grad(
+        imgs[0].astype(jnp.float32), imgs[1].astype(jnp.float32),
+        cfg.max_disp, sd,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "sd"))
+def dtam_solve(vol, img_left, lam, theta_start, sigma_q, sigma_d, huber_alpha,
+               beta, g_alpha, g_beta, iterations: int = 80, sd: int = -1):
+    """The DTAM alternation (main.cpp:354-383), fully on-chip.
+
+    Each iteration: weighted-Huber dual ascent on q, weighted primal descent
+    on d, exhaustive auxiliary search with square penalty, theta annealing
+    theta *= (1 - beta*n).
+    """
+    g = cv.exponential_edge_weight(img_left.astype(jnp.float32) / 255.0, g_alpha, g_beta)
+    d0 = cv.cost_vol_minimum_subpix(vol, sd)
+    a0 = d0
+    q0 = jnp.zeros(d0.shape + (2,), jnp.float32)
+
+    def body(n, carry):
+        d, a, q, theta = carry
+        q = rof.weighted_huber_dual_ascent_p(q, d, g, sigma_q, huber_alpha)
+        d = rof.weighted_l2_primal_descent(d, q, a, g, sigma_d, 1.0 / theta)
+        a = cv.cost_vol_minimum_square_penalty_subpix(vol, d, lam, theta, sd)
+        theta = theta * (1.0 - beta * (n + 1.0))
+        return (d, a, q, theta)
+
+    d, a, q, theta = jax.lax.fori_loop(
+        0, iterations, body, (d0, a0, q0, jnp.float32(theta_start))
+    )
+    return d
+
+
+def postprocess(disp_l, disp_r, cfg: StereoConfig):
+    """Median -> LR check -> gradient filter (main.cpp:457-474)."""
+    out = disp_l
+    for _ in range(cfg.median_its):
+        out = median_mod.median_filter_reject_invalid(out, cfg.median_max_bad, rad=2)
+    if cfg.lr_check and disp_r is not None:
+        out = cv.left_right_check(out, disp_r, -1, cfg.max_disp_diff)
+    if cfg.filt_grad_thresh > 0:
+        out = cv.filter_disp_grad(out, cfg.filt_grad_thresh)
+    return out
+
+
+def stereo_pipeline(left, right, cfg: StereoConfig = StereoConfig(),
+                    use_dtam: bool = True):
+    """Full frame: volume -> (guided filter) -> WTA or DTAM -> post."""
+    vol_l = cost_volume(left, right, cfg, -1)
+    if cfg.filter_volume:
+        guide = left.astype(jnp.float32) / 255.0
+        vol_l = ii.guided_filter_volume(vol_l, guide, cfg.filter_rad, cfg.filter_eps)
+    if use_dtam:
+        disp_l = dtam_solve(
+            vol_l, left, cfg.lam, cfg.theta_start, cfg.sigma_q, cfg.sigma_d,
+            cfg.huber_alpha, cfg.beta, cfg.g_alpha, cfg.g_beta,
+            iterations=cfg.dtam_iterations,
+        )
+    else:
+        disp_l = cv.cost_vol_minimum_subpix(vol_l, -1)
+    disp_r = None
+    if cfg.lr_check:
+        vol_r = cost_volume(left, right, cfg, 1)
+        disp_r = cv.cost_vol_minimum_subpix(vol_r, 1)
+    return postprocess(disp_l, disp_r, cfg)
+
+
+def depth_and_cloud(disp, K, baseline, min_disp=16.0):
+    """Disp2Depth + DisparityImageToVbo (main.cpp:384-419)."""
+    depth = depth_mod.disp_to_depth(disp, K.fu, baseline, min_disp)
+    cloud = depth_mod.depth_from_disparity_vbo(disp, K, baseline, min_disp)
+    return depth, cloud

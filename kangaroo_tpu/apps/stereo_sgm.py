@@ -1,0 +1,69 @@
+"""SGM stereo pipeline.
+
+TPU-native re-implementation of applications/stereo2/main.cpp:374-436: census
+volumes (both directions for the LR check) -> 4-path semi-global matching ->
+WTA + subpixel -> median / LR-check -> optional plane fit and heightmap
+fusion. Var defaults from stereo2/main.cpp:240-261.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..ops import median as median_mod
+from ..stereo import census as census_mod
+from ..stereo import costvolume as cv
+from ..stereo import sgm as sgm_mod
+
+
+@dataclasses.dataclass
+class SgmConfig:
+    max_disp: int = 64
+    census_window: str = "16x16"
+    p1: float = 0.01  # ui.sgm p1
+    p2: float = 0.02  # ui.sgm p2 (adaptive P2/(1+|dI|))
+    do_horiz: bool = True
+    do_vert: bool = True
+    do_reverse: bool = True
+    lr_check: bool = True
+    max_disp_diff: float = 1.0
+    median_its: int = 1
+    median_max_bad: int = 12
+    subpix: bool = True
+
+
+def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
+    """Full SGM frame for the left image; returns float disparity with NaN
+    invalids (stereo2/main.cpp:374-436)."""
+    cl = census_mod.census(left, cfg.census_window)
+    cr = census_mod.census(right, cfg.census_window)
+    bits = census_mod.norm_bits(cfg.census_window)
+    left_f = left.astype(jnp.float32)
+    right_f = right.astype(jnp.float32)
+
+    vol_l = census_mod.census_cost_volume(cl, cr, cfg.max_disp, -1, bits)
+    agg_l = sgm_mod.semi_global_matching(
+        vol_l, left_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert, cfg.do_reverse
+    )
+    if cfg.subpix:
+        disp_l = cv.cost_vol_minimum_subpix(agg_l, -1)
+    else:
+        disp_l = cv.cost_vol_minimum(agg_l, cfg.max_disp).astype(jnp.float32)
+
+    if cfg.lr_check:
+        vol_r = census_mod.census_cost_volume(cr, cl, cfg.max_disp, 1, bits)
+        agg_r = sgm_mod.semi_global_matching(
+            vol_r, right_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert,
+            cfg.do_reverse, sd=1,
+        )
+        if cfg.subpix:
+            disp_r = cv.cost_vol_minimum_subpix(agg_r, 1)
+        else:
+            disp_r = cv.cost_vol_minimum(agg_r, cfg.max_disp).astype(jnp.float32)
+
+    for _ in range(cfg.median_its):
+        disp_l = median_mod.median_filter_reject_invalid(disp_l, cfg.median_max_bad, rad=2)
+    if cfg.lr_check:
+        disp_l = cv.left_right_check(disp_l, disp_r, -1, cfg.max_disp_diff)
+    return disp_l

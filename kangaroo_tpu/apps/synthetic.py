@@ -1,0 +1,78 @@
+"""Synthetic scene generation for the application drivers and benchmarks.
+
+The reference apps read live cameras through HAL (extra/RpgCameraOpen.h);
+this framework's drivers also accept any array sequence, and this module
+supplies analytic stand-ins: raycast depth sequences of a known SDF scene for
+KinectFusion, and textured stereo pairs with ground-truth disparity for the
+stereo pipelines — the same strategy as the reference's synthetic self-tests
+(applications/examples/SdfFusion.cpp).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+import kangaroo_tpu as kt
+from ..core import se3
+from ..fusion import raycast as rc
+
+
+def sphere_scene(res: int = 128, extent: float = 1.2):
+    """Three-sphere TSDF scene with full 6-dof observability."""
+    bbox = kt.BoundingBox.create((-extent,) * 3, (extent,) * 3)
+    vol = kt.TsdfVolume.create(res, res, res, bbox, trunc_dist=0.1)
+    pos = vol.voxel_positions()
+    d1 = jnp.linalg.norm(pos - jnp.array([0.25, 0.0, 0.0]), axis=-1) - 0.6
+    d2 = jnp.linalg.norm(pos - jnp.array([-0.45, 0.35, 0.3]), axis=-1) - 0.4
+    d3 = jnp.linalg.norm(pos - jnp.array([-0.2, -0.5, -0.3]), axis=-1) - 0.3
+    val = jnp.minimum(jnp.minimum(d1, d2), d3)
+    return kt.TsdfVolume(val, jnp.ones_like(vol.weight), bbox)
+
+
+def orbit_pose(angle: float, radius: float = 3.0):
+    """Camera on a y-axis orbit looking at the origin."""
+    c, s = np.cos(angle), np.sin(angle)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    t = R @ np.array([0.0, 0.0, -radius], np.float32)
+    return se3.make(R, t)
+
+
+def depth_sequence(n_frames: int, K, w: int, h: int, scene=None,
+                   step: float = 0.02, radius: float = 3.0):
+    """Yield (T_wc, depth) frames orbiting the scene."""
+    vol = sphere_scene() if scene is None else scene
+    for i in range(n_frames):
+        T_wc = orbit_pose(i * step, radius)
+        depth, _, _ = rc.raycast_sdf(vol, T_wc, K, w, h, near=0.5, far=8.0)
+        yield jnp.asarray(T_wc), depth
+
+
+def stereo_pair(w: int = 640, h: int = 480, max_disp: int = 64, seed: int = 0):
+    """Textured fronto-parallel-slab stereo pair with ground-truth disparity.
+
+    Returns (left, right, gt_disp) with left uint8; disparity is piecewise
+    constant (a box floating over a background plane).
+    """
+    rng = np.random.default_rng(seed)
+    # smooth texture: low-frequency noise + speckle so census has signal
+    tex = rng.random((h, w + max_disp)).astype(np.float32)
+    k = np.ones(7, np.float32) / 7.0
+    for axis in (0, 1):
+        tex = np.apply_along_axis(lambda m: np.convolve(m, k, mode="same"), axis, tex)
+    tex = tex + 0.35 * rng.random((h, w + max_disp)).astype(np.float32)
+    tex = (255 * (tex - tex.min()) / (tex.max() - tex.min())).astype(np.uint8)
+
+    disp = np.full((h, w), max_disp // 4, np.int32)
+    bw, bh = w // 3, h // 3
+    disp[bh : 2 * bh, bw : 2 * bw] = (3 * max_disp) // 4
+
+    # disparity is defined on the left grid: left[x] = right[x - d(x)], so the
+    # right image is a plain slice and the left samples tex at x + D - d
+    right = tex[:, max_disp : max_disp + w]
+    xs = np.arange(w)[None, :] + max_disp - disp
+    left = tex[np.arange(h)[:, None], xs]
+    return (
+        jnp.asarray(left.astype(np.uint8)),
+        jnp.asarray(right),
+        jnp.asarray(disp.astype(np.float32)),
+    )

@@ -94,7 +94,9 @@ def raycast_sdf(vol: TsdfVolume, T_wc, K, w: int, h: int, near=0.1, far=10.0,
             lam_hit = s.lam
         depth = jnp.where(surface, lam_hit, s.depth)
         done = s.done | crossed
-        delta = jnp.maximum(sdf, voxel)
+        # NaN sdf (unobserved voxels after SdfReset(NaN)) marches at the
+        # minimum step, matching CUDA fmaxf's NaN-ignoring behaviour.
+        delta = jnp.where(jnp.isnan(sdf), voxel, jnp.maximum(sdf, voxel))
         lam = jnp.where(done, s.lam, s.lam + delta)
         done = done | (lam >= min_tmax)
         return _March(

@@ -55,9 +55,12 @@ def sdf_fuse(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist, max_w=1000.0,
     new_sd = jnp.where(update, jnp.clip(sd, -trunc_dist, trunc_dist), 0.0)
     w_new = jnp.where(update, w, 0.0)
     # SDF_t::operator+= (Sdf.h:25-32): weighted average, then LimitWeight.
+    # A stored weight of 0 (SdfReset state, possibly val=NaN) must not poison
+    # the blend: the first observation replaces the value outright.
+    old_val = jnp.where(vol.weight > 0, vol.val, 0.0)
     w_tot = vol.weight + w_new
     val = jnp.where(
-        w_tot > 0, (vol.weight * vol.val + w_new * new_sd) / jnp.maximum(w_tot, 1e-20), vol.val
+        w_tot > 0, (vol.weight * old_val + w_new * new_sd) / jnp.maximum(w_tot, 1e-20), vol.val
     )
     w_tot = jnp.minimum(w_tot, max_w)
     return TsdfVolume(val, w_tot, vol.bbox)
@@ -86,9 +89,10 @@ def sdf_fuse_color(vol: TsdfVolume, color_vol: BoundedVolume, depth, normals,
     new_sd = jnp.where(update, jnp.clip(sd, -trunc_dist, trunc_dist), 0.0)
     w_new = jnp.where(update, w, 0.0)
     grey = jnp.where(update, grey, 0.0)
+    old_val = jnp.where(vol.weight > 0, vol.val, 0.0)
     w_tot = vol.weight + w_new
     val = jnp.where(
-        w_tot > 0, (vol.weight * vol.val + w_new * new_sd) / jnp.maximum(w_tot, 1e-20), vol.val
+        w_tot > 0, (vol.weight * old_val + w_new * new_sd) / jnp.maximum(w_tot, 1e-20), vol.val
     )
     colour = jnp.where(
         update,

@@ -91,7 +91,7 @@ def _scan_direction(vol, img, dmask, P1, P2, reverse: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("do_horiz", "do_vert", "do_reverse")
+    jax.jit, static_argnames=("do_horiz", "do_vert", "do_reverse", "sd")
 )
 def semi_global_matching(
     vol,
@@ -101,15 +101,23 @@ def semi_global_matching(
     do_horiz: bool = True,
     do_vert: bool = True,
     do_reverse: bool = True,
+    sd: int = -1,
 ):
     """4-path SGM aggregation of cost volume vol (D, H, W) guided by image
     img (H, W). Returns the aggregated (D, H, W) volume
-    (SemiGlobalMatching, cu_semi_global_matching.cu:65-86)."""
+    (SemiGlobalMatching, cu_semi_global_matching.cu:65-86).
+
+    ``sd`` selects the valid-disparity lattice: -1 for a left-anchored volume
+    (d <= x, the reference's min(maxDisp, x+1) clip), +1 for a right-anchored
+    one (x + d < W). The reference always applies the left clip, even to the
+    right volume in stereo2 (a latent bug); we mask correctly per direction.
+    """
     D, H, W = vol.shape
     v = jnp.moveaxis(vol.astype(jnp.float32), 0, -1)  # (H, W, D)
     d = jnp.arange(D)[None, None, :]
     x = jnp.arange(W)[None, :, None]
-    dmask = jnp.broadcast_to(d <= x, (H, W, D))  # d < min(maxDispVal, x+1)
+    dmask = (d <= x) if sd < 0 else (x + d < W)
+    dmask = jnp.broadcast_to(dmask, (H, W, D))
 
     out = jnp.zeros_like(v)
     if do_vert:

@@ -1,0 +1,130 @@
+"""End-to-end application drivers on synthetic data (small sizes for CI)."""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import kangaroo_tpu as kt
+from kangaroo_tpu.apps import kinectfusion as kf
+from kangaroo_tpu.apps import stereo as stereo_app
+from kangaroo_tpu.apps import stereo_sgm
+from kangaroo_tpu.apps import synthetic
+from kangaroo_tpu.core import se3
+
+
+class TestSyntheticData:
+    def test_stereo_pair_groundtruth(self):
+        left, right, gt = synthetic.stereo_pair(64, 48, 16, seed=1)
+        l = np.asarray(left)
+        r = np.asarray(right)
+        g = np.asarray(gt).astype(int)
+        # left[x] must equal right[x - d]
+        for y, x in [(24, 40), (10, 30), (30, 50)]:
+            assert l[y, x] == r[y, x - g[y, x]]
+
+    def test_depth_sequence_shapes(self):
+        K = kt.Intrinsics.centered(40.0, 48, 36)
+        frames = list(synthetic.depth_sequence(2, K, 48, 36))
+        assert len(frames) == 2
+        T, d = frames[0]
+        assert T.shape == (3, 4) and d.shape == (36, 48)
+
+
+class TestSgmApp:
+    def test_recovers_synthetic_disparity(self):
+        left, right, gt = synthetic.stereo_pair(96, 64, 16, seed=0)
+        cfg = stereo_sgm.SgmConfig(max_disp=16, census_window="9x7", p1=0.03, p2=0.1)
+        disp = np.asarray(stereo_sgm.sgm_pipeline(left, right, cfg))
+        g = np.asarray(gt)
+        valid = np.isfinite(disp)
+        inner = np.zeros_like(valid)
+        inner[8:-8, 20:-8] = True
+        m = valid & inner
+        assert m.sum() / inner.sum() > 0.5
+        err = np.abs(disp[m] - g[m])
+        assert np.median(err) < 1.0
+        assert (err < 1.0).mean() > 0.8
+
+
+class TestVariationalStereoApp:
+    def test_dtam_pipeline_runs_and_is_accurate(self):
+        left, right, gt = synthetic.stereo_pair(96, 64, 16, seed=0)
+        cfg = stereo_app.StereoConfig(
+            max_disp=16, census_window="9x7", dtam_iterations=30,
+            lam=20.0, lr_check=True,
+        )
+        disp = np.asarray(stereo_app.stereo_pipeline(left, right, cfg))
+        g = np.asarray(gt)
+        valid = np.isfinite(disp)
+        inner = np.zeros_like(valid)
+        inner[8:-8, 20:-8] = True
+        m = valid & inner
+        assert m.sum() / inner.sum() > 0.4
+        assert np.median(np.abs(disp[m] - g[m])) < 1.5
+
+    def test_wta_only_path(self):
+        left, right, gt = synthetic.stereo_pair(64, 48, 8, seed=2)
+        cfg = stereo_app.StereoConfig(max_disp=8, census_window="9x7", lr_check=False,
+                                      median_its=1)
+        disp = np.asarray(stereo_app.stereo_pipeline(left, right, cfg, use_dtam=False))
+        g = np.asarray(gt)
+        m = np.isfinite(disp)
+        m[:6] = m[-6:] = False
+        m[:, :12] = m[:, -6:] = False
+        assert np.median(np.abs(disp[m] - g[m])) < 1.0
+
+    def test_depth_and_cloud(self):
+        K = kt.Intrinsics.centered(50.0, 32, 24)
+        disp = jnp.full((24, 32), 20.0)
+        depth, cloud = stereo_app.depth_and_cloud(disp, K, 0.1)
+        np.testing.assert_allclose(np.asarray(depth), 50.0 * 0.1 / 20.0, rtol=1e-6)
+        assert cloud.shape == (24, 32, 4)
+
+
+class TestKinectFusionApp:
+    def test_tracking_and_fusion_on_synthetic_orbit(self):
+        W, H = 64, 48
+        K = kt.Intrinsics.centered(55.0, W, H)
+        cfg = kf.KinectFusionConfig(
+            w=W, h=H, vol_res=48, vol_extent=1.2, max_levels=2, its=(2, 2),
+            near=0.5, far=6.0, max_rmse=0.3, bilateral_minval=0.2,
+        )
+        pipe = kf.KinectFusion(K, cfg)
+        scene = synthetic.sphere_scene(res=64)
+        poses = []
+        ests = []
+        for i, (T_wc, depth) in enumerate(
+            synthetic.depth_sequence(4, K, W, H, scene=scene, step=0.015)
+        ):
+            depth = jnp.where(jnp.isfinite(depth), depth, 0.0)  # sensor-style zeros
+            if i == 0:
+                pipe.T_wl = T_wc  # bootstrap at true pose
+            est = pipe.process_frame(depth)
+            poses.append(np.asarray(T_wc))
+            ests.append(np.asarray(est))
+        assert pipe.tracking_good
+        # translation drift should stay small vs true pose
+        drift = np.abs(ests[-1] - poses[-1]).max()
+        assert drift < 0.06
+        assert float(pipe.vol.weight.max()) > 0
+
+    def test_render_and_mesh(self, tmp_path):
+        W, H = 48, 36
+        K = kt.Intrinsics.centered(40.0, W, H)
+        cfg = kf.KinectFusionConfig(w=W, h=H, vol_res=32, vol_extent=1.2,
+                                    max_levels=1, its=(1,), near=0.5, far=6.0)
+        pipe = kf.KinectFusion(K, cfg)
+        scene = synthetic.sphere_scene(res=48)
+        for i, (T_wc, depth) in enumerate(
+            synthetic.depth_sequence(3, K, W, H, scene=scene, step=0.8)
+        ):
+            pipe.T_wl = T_wc
+            pipe.process_frame(jnp.where(jnp.isfinite(depth), depth, 0.0),
+                               pose_refinement=False)
+        d, n, img = pipe.render()
+        assert np.isfinite(np.asarray(d)).any()
+        tris = pipe.save_mesh(str(tmp_path / "m.ply"))
+        assert len(tris) > 0
+        pipe.save_volume(str(tmp_path / "save.vol"))
+        pipe.load_volume(str(tmp_path / "save.vol"))
