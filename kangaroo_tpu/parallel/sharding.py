@@ -1,0 +1,267 @@
+"""Multi-chip sharded variants of the hot pipelines.
+
+The reference is a single-GPU library; these are the ICI-scaling strategies
+SURVEY.md §2.4 plans as first-class components:
+
+  * stereo: shard the **disparity axis** of the cost volume — each chip
+    builds and aggregates its disparity slab, WTA combines with a global
+    argmin (one small all-gather of per-shard minima);
+  * fusion: shard the **voxel z axis** — TSDF fuse needs no communication
+    (each chip owns a slab); raycast runs per-slab and combines by nearest
+    finite depth (psum-style min reduce);
+  * stencils: shard **image rows** with halo exchange via ``ppermute``;
+  * solvers: shard rows and ``psum`` the per-shard normal equations.
+
+All functions take an explicit Mesh with one axis named "shard" and run under
+``shard_map``, so they compile the same for 8 virtual CPU devices (tests) and
+real ICI-connected TPU chips.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..containers.volume import TsdfVolume
+from ..core import se3
+from ..fusion import raycast as rc
+from ..fusion import sdf as sdf_mod
+from ..solvers import icp as icp_mod
+from ..stereo import census as census_mod
+from ..stereo import costvolume as cv
+
+AXIS = "shard"
+
+
+# --------------------------------------------------------------------------
+# Halo exchange for row-sharded stencils
+# --------------------------------------------------------------------------
+
+
+def halo_exchange_rows(block, halo: int):
+    """Append ``halo`` rows from the neighbouring shards (edge-replicated at
+    the mesh ends), for stencil ops on a row-sharded image. Runs inside
+    shard_map; uses ppermute over the ring."""
+    n = jax.lax.axis_size(AXIS)
+    idx = jax.lax.axis_index(AXIS)
+    top = block[:halo]
+    bot = block[-halo:]
+    # send my top rows to the previous shard (they become its bottom halo)
+    from_next = jax.lax.ppermute(top, AXIS, [(i, (i - 1) % n) for i in range(n)])
+    from_prev = jax.lax.ppermute(bot, AXIS, [(i, (i + 1) % n) for i in range(n)])
+    # edge shards replicate their own border rows (clamped boundary)
+    from_prev = jnp.where(idx == 0, jnp.broadcast_to(block[:1], from_prev.shape), from_prev)
+    from_next = jnp.where(
+        idx == n - 1, jnp.broadcast_to(block[-1:], from_next.shape), from_next
+    )
+    return jnp.concatenate([from_prev, block, from_next], axis=0)
+
+
+def sharded_stencil_rows(fn, mesh, halo: int):
+    """Lift ``fn(img) -> img`` (a local stencil with radius <= halo) to a
+    row-sharded image: halo-exchange, apply, crop."""
+
+    def local(img_block):
+        padded = halo_exchange_rows(img_block, halo)
+        out = fn(padded)
+        return out[halo:-halo]
+
+    return shard_map(
+        local, mesh=mesh, in_specs=P(AXIS, None), out_specs=P(AXIS, None)
+    )
+
+
+# --------------------------------------------------------------------------
+# Disparity-sharded stereo
+# --------------------------------------------------------------------------
+
+
+def sharded_census_wta(left_img, right_img, max_disp: int, mesh,
+                       window: str = "9x7"):
+    """Cost-volume build + WTA with the disparity axis sharded.
+
+    Census transforms are computed replicated (cheap); each shard scores its
+    disparity slab; the global WTA combines per-shard (min cost, argmin d)
+    pairs with a single tiny collective. Returns int32 disparity.
+    """
+    n = mesh.devices.size
+    assert max_disp % n == 0, "max_disp must divide the mesh"
+    d_per = max_disp // n
+    bits = census_mod.norm_bits(window)
+
+    cl = census_mod.census(left_img, window)
+    cr = census_mod.census(right_img, window)
+
+    def local(cl_rep, cr_rep):
+        shard = jax.lax.axis_index(AXIS)
+        d0 = shard * d_per
+        H, W, K = cl_rep.shape
+        x = jnp.arange(W)
+        slabs = []
+        for i in range(d_per):
+            d = d0 + i
+            xd = x - d
+            ok = (xd >= 0) & (xd < W)
+            r = cr_rep[:, jnp.clip(xd, 0, W - 1), :]
+            ham = census_mod.hamming_distance(cl_rep, r).astype(jnp.float32) / bits
+            slabs.append(jnp.where(ok[None, :], ham, 0.5))
+        vol = jnp.stack(slabs, axis=0)  # (d_per, H, W)
+        dloc = jnp.arange(d_per)[:, None, None] + d0
+        masked = jnp.where(dloc <= x[None, None, :], vol, 1e10)
+        best_c = jnp.min(masked, axis=0)
+        best_d = jnp.argmin(masked, axis=0).astype(jnp.int32) + d0
+        # global argmin across shards: gather the n candidates, pick best
+        all_c = jax.lax.all_gather(best_c, AXIS)  # (n, H, W)
+        all_d = jax.lax.all_gather(best_d, AXIS)
+        # ties resolve to the smallest d, matching the sequential scan
+        order = jnp.argsort(all_d, axis=0)
+        all_c = jnp.take_along_axis(all_c, order, axis=0)
+        all_d = jnp.take_along_axis(all_d, order, axis=0)
+        win = jnp.argmin(all_c, axis=0)
+        return jnp.take_along_axis(all_d, win[None], axis=0)[0]
+
+    f = shard_map(local, mesh=mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False)
+    return f(cl, cr)
+
+
+# --------------------------------------------------------------------------
+# Voxel-z-sharded TSDF fusion + raycast
+# --------------------------------------------------------------------------
+
+
+def shard_volume_z(vol: TsdfVolume, mesh) -> TsdfVolume:
+    """Place a TsdfVolume with its z (leading) axis sharded over the mesh."""
+    sh = NamedSharding(mesh, P(AXIS, None, None))
+    return TsdfVolume(
+        jax.device_put(vol.val, sh), jax.device_put(vol.weight, sh), vol.bbox
+    )
+
+
+def sharded_sdf_fuse(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
+                     max_w, mincostheta, mesh) -> TsdfVolume:
+    """TSDF fuse with the voxel z axis sharded: zero communication — each
+    chip projects and updates only its slab (SURVEY.md §2.4: 'shard the voxel
+    z-axis for TSDF fuse (no comm needed)')."""
+    D = vol.d
+    n = mesh.devices.size
+
+    def local(val, weight, depth, normals, T_cw, lo, hi):
+        shard = jax.lax.axis_index(AXIS)
+        lo_s, hi_s = _slab_bbox_from(lo, hi, D, n, shard)
+        from ..containers.bbox import BoundingBox
+
+        sub = TsdfVolume(val, weight, BoundingBox(lo_s, hi_s))
+        out = sdf_mod.sdf_fuse(sub, depth, normals, T_cw, K, trunc_dist, max_w, mincostheta)
+        return out.val, out.weight
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS, None, None), P(), P(), P(), P(), P()),
+        out_specs=(P(AXIS, None, None), P(AXIS, None, None)),
+        check_vma=False,
+    )
+    val, weight = f(vol.val, vol.weight, depth, normals, jnp.asarray(T_cw),
+                    vol.bbox.lo, vol.bbox.hi)
+    return TsdfVolume(val, weight, vol.bbox)
+
+
+def _slab_bbox_from(lo, hi, d_total: int, n: int, shard_idx, extra: int = 0):
+    """World bbox of z-slab ``shard_idx``; ``extra`` extends past the slab by
+    that many halo planes (clamped conceptually — the caller duplicates the
+    final plane on the last shard so the degenerate cell has no crossings)."""
+    d_per = d_total // n
+    z0 = shard_idx * d_per
+    z1 = z0 + d_per - 1 + extra
+    size = hi - lo
+    zlo = lo[2] + size[2] * z0 / (d_total - 1)
+    zhi = lo[2] + size[2] * z1 / (d_total - 1)
+    return (
+        jnp.stack([lo[0], lo[1], zlo]),
+        jnp.stack([hi[0], hi[1], zhi]),
+    )
+
+
+def sharded_raycast(vol: TsdfVolume, T_wc, K, w: int, h: int, mesh,
+                    near=0.1, far=10.0, trunc_dist=None, max_steps: int = 512):
+    """Raycast a z-sharded TSDF: each chip sphere-traces its slab (the slabs
+    partition space, so each ray hits at most one surface per slab) and the
+    nearest finite depth wins — a single min-reduce across the mesh
+    (SURVEY.md §2.4: 'per-shard raycast + min-depth all-reduce')."""
+    D = vol.d
+    n = mesh.devices.size
+
+    def local(val, weight, lo, hi):
+        shard = jax.lax.axis_index(AXIS)
+        nsh = jax.lax.axis_size(AXIS)
+        # one-plane halo from the next shard so the interpolation cell
+        # between slabs is owned by the lower slab (no missed crossings)
+        perm = [(i, (i - 1) % nsh) for i in range(nsh)]
+        val_next = jax.lax.ppermute(val[:1], AXIS, perm)
+        w_next = jax.lax.ppermute(weight[:1], AXIS, perm)
+        last = shard == nsh - 1
+        val_ext = jnp.concatenate(
+            [val, jnp.where(last, val[-1:], val_next)], axis=0
+        )
+        w_ext = jnp.concatenate([weight, jnp.where(last, weight[-1:], w_next)], axis=0)
+        lo_s, hi_s = _slab_bbox_from(lo, hi, D, n, shard, extra=1)
+        from ..containers.bbox import BoundingBox
+
+        sub = TsdfVolume(val_ext, w_ext, BoundingBox(lo_s, hi_s))
+        d, nrm, img = rc.raycast_sdf(sub, T_wc, K, w, h, near, far,
+                                     trunc_dist=trunc_dist, max_steps=max_steps)
+        d_safe = jnp.where(jnp.isfinite(d), d, jnp.inf)
+        best = jax.lax.pmin(d_safe, AXIS)
+        mine = d_safe == best
+        nrm = jnp.where(mine[..., None], nrm, 0.0)
+        img = jnp.where(mine, img, 0.0)
+        nrm = jax.lax.pmax(nrm, AXIS)
+        img = jax.lax.pmax(img, AXIS)
+        depth = jnp.where(jnp.isfinite(best), best, jnp.nan)
+        return depth, nrm, img
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS, None, None), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return f(vol.val, vol.weight, vol.bbox.lo, vol.bbox.hi)
+
+
+# --------------------------------------------------------------------------
+# Row-sharded ICP reduction
+# --------------------------------------------------------------------------
+
+
+def sharded_icp_point_plane(points_live, points_ref, normals_ref, KT_lr, T_rl,
+                            c, mesh):
+    """Point-plane ICP with image rows sharded: each chip reduces its rows'
+    normal equations locally (MXU matmul), then one psum of the 6x6+6+2
+    system crosses the ICI — the all-reduce analogue of the reference's
+    block-tree + thrust reduction (LeastSquareSum.h:17-86).
+
+    Note: the projective association gathers from the full live point image,
+    so points_live stays replicated; only the reference-frame rows shard.
+    """
+    from ..solvers.lss import LSS
+
+    def local(pl, pr, nr):
+        s = icp_mod.icp_point_plane(pl, pr, nr, KT_lr, T_rl, c)
+        return (
+            jax.lax.psum(s.JTJ, AXIS),
+            jax.lax.psum(s.JTy, AXIS),
+            jax.lax.psum(s.sqErr, AXIS),
+            jax.lax.psum(s.obs, AXIS),
+        )
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(AXIS, None, None), P(AXIS, None, None)),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    JTJ, JTy, sq, obs = f(points_live, points_ref, normals_ref)
+    return LSS(JTJ, JTy, sq, obs)

@@ -1,0 +1,116 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh: sharded results must
+equal the single-device ones."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import kangaroo_tpu as kt
+from kangaroo_tpu.apps import synthetic
+from kangaroo_tpu.core import se3
+from kangaroo_tpu.fusion import raycast as rc
+from kangaroo_tpu.fusion import sdf as sdf_mod
+from kangaroo_tpu.geometry import depth as depth_mod
+from kangaroo_tpu.ops import blur as blur_mod
+from kangaroo_tpu.parallel import mesh as mesh_mod
+from kangaroo_tpu.parallel import sharding
+from kangaroo_tpu.solvers import icp as icp_mod
+from kangaroo_tpu.stereo import census as census_mod
+from kangaroo_tpu.stereo import costvolume as cv
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return mesh_mod.make_mesh(8)
+
+
+class TestShardedStereo:
+    def test_census_wta_matches_single_device(self, mesh, rng):
+        left, right, _ = synthetic.stereo_pair(64, 32, 16, seed=3)
+        # single device
+        cl = census_mod.census(left, "9x7")
+        cr = census_mod.census(right, "9x7")
+        vol = census_mod.census_cost_volume(cl, cr, 16, -1, 64)
+        want = np.asarray(cv.cost_vol_minimum(vol, 16))
+        got = np.asarray(sharding.sharded_census_wta(left, right, 16, mesh, "9x7"))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestShardedFusion:
+    def _setup(self):
+        W, H = 48, 36
+        K = kt.Intrinsics.centered(40.0, W, H)
+        bbox = kt.BoundingBox.create((-1.2, -1.2, -1.2), (1.2, 1.2, 1.2))
+        vol = kt.TsdfVolume.create(64, 48, 48, bbox, trunc_dist=0.15)
+        T_wc = se3.make(np.eye(3), [0.0, 0.0, -3.0])
+        prev = jnp.full((H, W), jnp.nan)
+        gt, _ = rc.raycast_sphere(prev, T_wc, K, (0.0, 0.0, 0.0), 0.9, W, H)
+        vbo = depth_mod.depth_to_vbo(gt, K)
+        norm = depth_mod.normals_from_vbo(vbo)
+        return K, vol, T_wc, gt, norm, W, H
+
+    def test_sharded_fuse_matches_single(self, mesh):
+        K, vol, T_wc, gt, norm, W, H = self._setup()
+        T_cw = se3.inverse(T_wc)
+        want = sdf_mod.sdf_fuse(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        vol_sh = sharding.shard_volume_z(vol, mesh)
+        got = sharding.sharded_sdf_fuse(vol_sh, gt, norm, T_cw, K, 0.15, 1000.0, 0.1, mesh)
+        np.testing.assert_allclose(np.asarray(got.val), np.asarray(want.val), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.weight), np.asarray(want.weight), atol=1e-5)
+
+    def test_sharded_raycast_close_to_single(self, mesh):
+        K, vol, T_wc, gt, norm, W, H = self._setup()
+        T_cw = se3.inverse(T_wc)
+        vol1 = sdf_mod.sdf_fuse(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        d1, n1, _ = rc.raycast_sdf(vol1, T_wc, K, W, H, near=0.5, far=8.0, trunc_dist=0.15)
+        vol_sh = sharding.shard_volume_z(vol1, mesh)
+        d8, n8, _ = sharding.sharded_raycast(
+            vol_sh, jnp.asarray(T_wc), K, W, H, mesh, near=0.5, far=8.0, trunc_dist=0.15
+        )
+        a, b = np.asarray(d1), np.asarray(d8)
+        both = np.isfinite(a) & np.isfinite(b)
+        # slab-restarted marches sample different points along grazing rays
+        # of the noisy fused TSDF, so a few silhouette pixels differ; the
+        # bulk must agree tightly
+        assert both.sum() > 0.9 * np.isfinite(a).sum()
+        diff = np.abs(a[both] - b[both])
+        assert (diff < 2e-2).mean() > 0.95
+        assert np.median(diff) < 1e-3
+
+    def test_sharded_icp_matches_single(self, mesh):
+        W, H = 64, 48  # rows must divide the 8-way mesh
+        K = kt.Intrinsics.centered(50.0, W, H)
+        T_wc = se3.make(np.eye(3), [0.0, 0.0, -3.0])
+        prev = jnp.full((H, W), jnp.nan)
+        gt, _ = rc.raycast_sphere(prev, T_wc, K, (0.0, 0.0, 0.0), 0.9, W, H)
+        norm = depth_mod.normals_from_vbo(depth_mod.depth_to_vbo(gt, K))
+        pts = depth_mod.depth_to_vbo(gt, K)
+        Km = jnp.asarray(np.asarray(K.matrix()))
+        T = jnp.asarray(se3.identity())
+        want = icp_mod.icp_point_plane(pts, pts, norm, Km @ T, T, 0.1)
+        got = sharding.sharded_icp_point_plane(pts, pts, norm, Km @ T, T, 0.1, mesh)
+        np.testing.assert_allclose(np.asarray(got.JTJ), np.asarray(want.JTJ), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(float(got.obs), float(want.obs))
+
+
+class TestHaloStencil:
+    def test_gaussian_blur_rows_sharded(self, mesh, rng):
+        # the halo helper implements clamped-boundary semantics, so test with
+        # a clamp-boundary stencil (gaussian_blur edge-pads); `blur`'s special
+        # border renormalisation is not expressible as clamping
+        img = jnp.asarray(rng.random((64, 32)).astype(np.float32))
+        fn = lambda x: blur_mod.gaussian_blur(x, 1.5, rad=3)
+        want = np.asarray(fn(img))
+        f = sharding.sharded_stencil_rows(fn, mesh, halo=3)
+        got = np.asarray(f(img))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_median_rows_sharded(self, mesh, rng):
+        from kangaroo_tpu.ops import median as median_mod
+
+        img = jnp.asarray(rng.random((64, 32)).astype(np.float32))
+        want = np.asarray(median_mod.median_filter_3x3(img))
+        f = sharding.sharded_stencil_rows(median_mod.median_filter_3x3, mesh, halo=1)
+        got = np.asarray(f(img))
+        np.testing.assert_allclose(got, want, atol=1e-6)
