@@ -1,0 +1,157 @@
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.md): 640x480, 64-disparity census SGM stereo with LR-check
+and median filtering, frames/second on one TPU chip, vs the 30 fps north-star
+target. Pass --all for the full benchmark table (blur/bilateral, census+WTA,
+SGM, variational, KinectFusion fuse+raycast) on stderr.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _timeit(fn, *args, warmup=2, iters=10):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_sgm(iters=10):
+    import jax
+    import jax.numpy as jnp
+
+    from kangaroo_tpu.apps import stereo_sgm
+
+    cfg = stereo_sgm.SgmConfig(max_disp=64, census_window="16x16")
+    rng = np.random.default_rng(0)
+    left = jnp.asarray((rng.random((480, 640)) * 255).astype(np.uint8))
+    right = jnp.asarray((rng.random((480, 640)) * 255).astype(np.uint8))
+    f = jax.jit(lambda l, r: stereo_sgm.sgm_pipeline(l, r, cfg))
+    dt = _timeit(f, left, right, iters=iters)
+    return 1.0 / dt
+
+
+def bench_census_wta(iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from kangaroo_tpu.stereo import census as cm
+    from kangaroo_tpu.stereo import costvolume as cv
+
+    rng = np.random.default_rng(0)
+    left = jnp.asarray((rng.random((480, 640)) * 255).astype(np.uint8))
+    right = jnp.asarray((rng.random((480, 640)) * 255).astype(np.uint8))
+
+    @jax.jit
+    def f(l, r):
+        cl = cm.census(l, "16x16")
+        cr = cm.census(r, "16x16")
+        vol = cm.census_cost_volume(cl, cr, 64, -1, 256)
+        return cv.cost_vol_minimum_subpix(vol, -1)
+
+    return 1.0 / _timeit(f, left, right, iters=iters)
+
+
+def bench_filters(iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from kangaroo_tpu.ops import bilateral, blur
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((480, 640)).astype(np.float32))
+    g = jax.jit(lambda x: blur.gaussian_blur(x, 2.0, rad=10))
+    b = jax.jit(lambda x: bilateral.bilateral(x, 2.0, 0.1, 5))
+    return 1e3 * _timeit(g, img, iters=iters), 1e3 * _timeit(b, img, iters=iters)
+
+
+def bench_variational(iters=5):
+    import jax
+    import jax.numpy as jnp
+
+    from kangaroo_tpu.variational import rof, tgv
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.random((480, 640)).astype(np.float32))
+    r = jax.jit(lambda x: rof.denoise(x, lam=8.0, iterations=100))
+    t = jax.jit(lambda x: tgv.denoise(x, iterations=100))
+    return 1e3 * _timeit(r, img, iters=iters), 1e3 * _timeit(t, img, iters=iters)
+
+
+def bench_fusion(iters=10):
+    """KinectFusion inner loop: TSDF fuse + raycast, 256^3 volume, 640x480."""
+    import jax
+    import jax.numpy as jnp
+
+    import kangaroo_tpu as kt
+    from kangaroo_tpu.core import se3
+    from kangaroo_tpu.fusion import raycast as rc
+    from kangaroo_tpu.fusion import sdf as sdf_mod
+    from kangaroo_tpu.geometry import depth as depth_mod
+
+    W, H = 640, 480
+    K = kt.Intrinsics.centered(550.0, W, H)
+    bbox = kt.BoundingBox.create((-1, -1, -1), (1, 1, 1))
+    vol = kt.TsdfVolume.create(256, 256, 256, bbox, trunc_dist=0.03)
+    vol = sdf_mod.sdf_sphere(vol, (0.0, 0.0, 0.0), 0.7)
+    T_wc = jnp.asarray(se3.make(np.eye(3), [0.0, 0.0, -3.0]))
+    T_cw = se3.inverse(T_wc)
+    depth = jnp.full((H, W), 2.3)
+    vbo = depth_mod.depth_to_vbo(depth, K)
+    norm = depth_mod.normals_from_vbo(vbo)
+
+    @jax.jit
+    def step(val, weight, depth, norm):
+        v = kt.TsdfVolume(val, weight, bbox)
+        v = sdf_mod.sdf_fuse(v, depth, norm, T_cw, K, 0.03, 1000.0, 0.1)
+        d, n, img = rc.raycast_sdf(v, T_wc, K, W, H, near=0.5, far=6.0,
+                                   trunc_dist=0.03, max_steps=256)
+        return v.val, v.weight, d
+
+    dt = _timeit(step, vol.val, vol.weight, depth, norm, iters=iters)
+    return 1e3 * dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true", help="run every benchmark")
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    fps = bench_sgm(args.iters)
+    if args.all:
+        print(f"census+WTA fps:    {bench_census_wta():8.2f}", file=sys.stderr)
+        g_ms, b_ms = bench_filters()
+        print(f"gaussian blur ms:  {g_ms:8.3f}", file=sys.stderr)
+        print(f"bilateral ms:      {b_ms:8.3f}", file=sys.stderr)
+        r_ms, t_ms = bench_variational()
+        print(f"ROF 100it ms:      {r_ms:8.3f}", file=sys.stderr)
+        print(f"TGV 100it ms:      {t_ms:8.3f}", file=sys.stderr)
+        print(f"fuse+raycast ms:   {bench_fusion():8.3f}", file=sys.stderr)
+        print(f"SGM fps:           {fps:8.2f}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sgm_stereo_640x480_64disp_fps",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / 30.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

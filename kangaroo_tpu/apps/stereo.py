@@ -19,6 +19,7 @@ from ..ops import integral_image as ii
 from ..ops import median as median_mod
 from ..stereo import census as census_mod
 from ..stereo import costvolume as cv
+from ..stereo import dispatch as fast
 from ..variational import rof
 
 
@@ -77,7 +78,7 @@ def dtam_solve(vol, img_left, lam, theta_start, sigma_q, sigma_d, huber_alpha,
     theta *= (1 - beta*n).
     """
     g = cv.exponential_edge_weight(img_left.astype(jnp.float32) / 255.0, g_alpha, g_beta)
-    d0 = cv.cost_vol_minimum_subpix(vol, sd)
+    d0 = fast.cost_vol_minimum_subpix(vol, sd)
     a0 = d0
     q0 = jnp.zeros(d0.shape + (2,), jnp.float32)
 
@@ -85,7 +86,7 @@ def dtam_solve(vol, img_left, lam, theta_start, sigma_q, sigma_d, huber_alpha,
         d, a, q, theta = carry
         q = rof.weighted_huber_dual_ascent_p(q, d, g, sigma_q, huber_alpha)
         d = rof.weighted_l2_primal_descent(d, q, a, g, sigma_d, 1.0 / theta)
-        a = cv.cost_vol_minimum_square_penalty_subpix(vol, d, lam, theta, sd)
+        a = fast.cost_vol_minimum_square_penalty_subpix(vol, d, lam, theta, sd)
         theta = theta * (1.0 - beta * (n + 1.0))
         return (d, a, q, theta)
 
@@ -99,9 +100,10 @@ def postprocess(disp_l, disp_r, cfg: StereoConfig):
     """Median -> LR check -> gradient filter (main.cpp:457-474)."""
     out = disp_l
     for _ in range(cfg.median_its):
-        out = median_mod.median_filter_reject_invalid(out, cfg.median_max_bad, rad=2)
+        out = fast.median_filter_reject_invalid(out, cfg.median_max_bad, rad=2)
     if cfg.lr_check and disp_r is not None:
-        out = cv.left_right_check(out, disp_r, -1, cfg.max_disp_diff)
+        out = fast.left_right_check(out, disp_r, -1, cfg.max_disp_diff,
+                                    max_disp=cfg.max_disp)
     if cfg.filt_grad_thresh > 0:
         out = cv.filter_disp_grad(out, cfg.filt_grad_thresh)
     return out
@@ -121,11 +123,11 @@ def stereo_pipeline(left, right, cfg: StereoConfig = StereoConfig(),
             iterations=cfg.dtam_iterations,
         )
     else:
-        disp_l = cv.cost_vol_minimum_subpix(vol_l, -1)
+        disp_l = fast.cost_vol_minimum_subpix(vol_l, -1)
     disp_r = None
     if cfg.lr_check:
         vol_r = cost_volume(left, right, cfg, 1)
-        disp_r = cv.cost_vol_minimum_subpix(vol_r, 1)
+        disp_r = fast.cost_vol_minimum_subpix(vol_r, 1)
     return postprocess(disp_l, disp_r, cfg)
 
 

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from ..ops import median as median_mod
 from ..stereo import census as census_mod
 from ..stereo import costvolume as cv
+from ..stereo import dispatch as fast
 from ..stereo import sgm as sgm_mod
 
 
@@ -43,27 +44,28 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
     right_f = right.astype(jnp.float32)
 
     vol_l = census_mod.census_cost_volume(cl, cr, cfg.max_disp, -1, bits)
-    agg_l = sgm_mod.semi_global_matching(
+    agg_l = fast.semi_global_matching(
         vol_l, left_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert, cfg.do_reverse
     )
     if cfg.subpix:
-        disp_l = cv.cost_vol_minimum_subpix(agg_l, -1)
+        disp_l = fast.cost_vol_minimum_subpix(agg_l, -1)
     else:
         disp_l = cv.cost_vol_minimum(agg_l, cfg.max_disp).astype(jnp.float32)
 
     if cfg.lr_check:
         vol_r = census_mod.census_cost_volume(cr, cl, cfg.max_disp, 1, bits)
-        agg_r = sgm_mod.semi_global_matching(
+        agg_r = fast.semi_global_matching(
             vol_r, right_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert,
             cfg.do_reverse, sd=1,
         )
         if cfg.subpix:
-            disp_r = cv.cost_vol_minimum_subpix(agg_r, 1)
+            disp_r = fast.cost_vol_minimum_subpix(agg_r, 1)
         else:
             disp_r = cv.cost_vol_minimum(agg_r, cfg.max_disp).astype(jnp.float32)
 
     for _ in range(cfg.median_its):
-        disp_l = median_mod.median_filter_reject_invalid(disp_l, cfg.median_max_bad, rad=2)
+        disp_l = fast.median_filter_reject_invalid(disp_l, cfg.median_max_bad, rad=2)
     if cfg.lr_check:
-        disp_l = cv.left_right_check(disp_l, disp_r, -1, cfg.max_disp_diff)
+        disp_l = fast.left_right_check(disp_l, disp_r, -1, cfg.max_disp_diff,
+                                       max_disp=cfg.max_disp)
     return disp_l

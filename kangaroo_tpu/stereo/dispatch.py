@@ -1,0 +1,72 @@
+"""Shape-aware dispatch between Pallas TPU kernels and XLA fallbacks for the
+stereo hot path."""
+from __future__ import annotations
+
+from .. import backend
+from . import costvolume as _cv
+from . import sgm as _sgm
+
+
+def _sgm_shapes_ok(vol) -> bool:
+    D, H, W = vol.shape
+    from . import sgm_pallas
+
+    R = sgm_pallas.ROWS_PER_STEP
+    return H % R == 0 and W % R == 0 and D % 8 == 0
+
+
+def semi_global_matching(vol, img, P1=0.01, P2=0.02, do_horiz=True,
+                         do_vert=True, do_reverse=True, sd=-1):
+    if backend.use_pallas(_sgm_shapes_ok(vol)):
+        from . import sgm_pallas
+
+        return sgm_pallas.semi_global_matching(
+            vol, img, float(P1), float(P2), do_horiz, do_vert, do_reverse, sd
+        )
+    return _sgm.semi_global_matching(vol, img, P1, P2, do_horiz, do_vert,
+                                     do_reverse, sd)
+
+
+def _wta_shapes_ok(vol) -> bool:
+    from . import wta_pallas
+
+    D, H, W = vol.shape
+    return H % wta_pallas.ROWS == 0
+
+
+def cost_vol_minimum_subpix(vol, sd=-1):
+    if backend.use_pallas(_wta_shapes_ok(vol)):
+        from . import wta_pallas
+
+        return wta_pallas.cost_vol_minimum_subpix(vol, sd)
+    return _cv.cost_vol_minimum_subpix(vol, sd)
+
+
+def cost_vol_minimum_square_penalty_subpix(vol, last_disp, lam, theta, sd=-1):
+    if backend.use_pallas(_wta_shapes_ok(vol)):
+        from . import wta_pallas
+
+        return wta_pallas.cost_vol_minimum_square_penalty_subpix(
+            vol, last_disp, lam, theta, sd
+        )
+    return _cv.cost_vol_minimum_square_penalty_subpix(vol, last_disp, lam, theta, sd)
+
+
+def median_filter_reject_invalid(img, max_bad: int, rad: int = 2):
+    from ..ops import median as _median
+
+    if backend.use_pallas(img.ndim == 2):
+        from ..ops import median_pallas
+
+        return median_pallas.median_filter(img, max_bad, rad, reject=True)
+    return _median.median_filter_reject_invalid(img, max_bad, rad)
+
+
+def left_right_check(disp_l, disp_r, sd: int = -1, max_diff=1.0,
+                     max_disp: int | None = None):
+    if backend.use_pallas(max_disp is not None):
+        from . import lr_pallas
+
+        return lr_pallas.left_right_check(disp_l, disp_r, sd, float(max_diff),
+                                          max_disp=max_disp)
+    return _cv.left_right_check(disp_l, disp_r, sd, max_diff)

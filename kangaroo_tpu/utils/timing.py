@@ -1,0 +1,112 @@
+"""Device timing utilities.
+
+Equivalent of the reference's CudaTimer (include/kangaroo/CudaTimer.h:16-153)
+adapted to remote-TPU realities: host<->device syncs cost tens of ms through
+the tunnel and `block_until_ready` is unreliable, so wall-clock timing of a
+single call is meaningless. :func:`time_fn` therefore repeats the op N times
+*inside one jitted computation* (a fori_loop whose carry forces a data
+dependency between iterations) and reports the slope between an N-iteration
+and a 1-iteration run — pure device time, independent of sync latency.
+"""
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _sync(x):
+    leaves = jax.tree_util.tree_leaves(x)
+    _ = float(jnp.asarray(leaves[0]).ravel().astype(jnp.float32)[0])
+
+
+def _repeat_jit(fn, n: int):
+    """Jitted: run fn n times with a data dependency chaining iterations."""
+
+    def mix(carry_args, out):
+        leaves = jax.tree_util.tree_leaves(out)
+        s = jnp.float32(0)
+        for leaf in leaves:
+            s = s + jnp.asarray(leaf).ravel()[0].astype(jnp.float32)
+        a0 = carry_args[0]
+        eps = (s * 1e-30).astype(a0.dtype) if jnp.issubdtype(a0.dtype, jnp.floating) else (
+            (s * 1e-30).astype(jnp.float32).astype(a0.dtype)
+        )
+        a0 = a0 + eps
+        return (a0,) + tuple(carry_args[1:])
+
+    @jax.jit
+    def g(*args):
+        def body(i, carry):
+            out = fn(*carry)
+            return mix(carry, out)
+
+        carry = jax.lax.fori_loop(0, n, body, tuple(args))
+        return fn(*carry)
+
+    return g
+
+
+def time_fn(fn, *args, iters: int = 16, warmup: int = 1, chain_arg=None,
+            samples: int = 3):
+    """Seconds per call of ``fn(*args)``, measured device-side via the slope
+    between (iters+1)-repetition and 1-repetition jitted runs."""
+    del chain_arg, warmup  # legacy signature
+    g1 = _repeat_jit(fn, 0)
+    gn = _repeat_jit(fn, iters)
+    out = g1(*args)
+    _sync(out)
+    out = gn(*args)
+    _sync(out)
+
+    def best_time(g):
+        best = float("inf")
+        for _ in range(samples):
+            t0 = time.perf_counter()
+            out = g(*args)
+            _sync(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = best_time(g1)
+    tn = best_time(gn)
+    return max(tn - t1, 1e-9) / iters
+
+
+class Timer:
+    """Running avg/min/max timer (CudaTimer.h Start/Stop/PrintSummary)."""
+
+    def __init__(self, name: str = ""):
+        self.name = name
+        self.times = []
+        self._t0 = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, sync_value=None):
+        if sync_value is not None:
+            _sync(sync_value)
+        dt = time.perf_counter() - self._t0
+        self.times.append(dt)
+        return dt
+
+    @property
+    def avg(self):
+        return sum(self.times) / max(len(self.times), 1)
+
+    @property
+    def min(self):
+        return min(self.times) if self.times else 0.0
+
+    @property
+    def max(self):
+        return max(self.times) if self.times else 0.0
+
+    def print_summary(self):
+        print(
+            f"{self.name}: avg {1e3 * self.avg:.3f} ms, "
+            f"min {1e3 * self.min:.3f} ms, max {1e3 * self.max:.3f} ms "
+            f"({len(self.times)} samples)"
+        )
