@@ -4,31 +4,30 @@ Headline (BASELINE.md): 640x480, 64-disparity census SGM stereo with LR-check
 and median filtering, frames/second on one TPU chip, vs the 30 fps north-star
 target. Pass --all for the full benchmark table (blur/bilateral, census+WTA,
 SGM, variational, KinectFusion fuse+raycast) on stderr.
+
+Timing is device-pure (kangaroo_tpu.utils.timing.time_fn): the op repeats
+inside one jitted fori_loop and the slope between N-rep and 1-rep runs is
+reported, so remote-tunnel sync latency cancels out.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
-import time
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
-def _timeit(fn, *args, warmup=2, iters=10):
-    import jax
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+def _timeit(fn, *args, iters=10):
+    from kangaroo_tpu.utils.timing import time_fn
+
+    return time_fn(fn, *args, iters=iters)
 
 
 def bench_sgm(iters=10):
-    import jax
     import jax.numpy as jnp
 
     from kangaroo_tpu.apps import stereo_sgm
@@ -37,61 +36,59 @@ def bench_sgm(iters=10):
     rng = np.random.default_rng(0)
     left = jnp.asarray((rng.random((480, 640)) * 255).astype(np.uint8))
     right = jnp.asarray((rng.random((480, 640)) * 255).astype(np.uint8))
-    f = jax.jit(lambda l, r: stereo_sgm.sgm_pipeline(l, r, cfg))
-    dt = _timeit(f, left, right, iters=iters)
-    return 1.0 / dt
+    f = lambda l, r: stereo_sgm.sgm_pipeline(l, r, cfg)
+    return 1.0 / _timeit(f, left, right, iters=iters)
 
 
-def bench_census_wta(iters=20):
-    import jax
+def bench_census_wta(iters=10):
     import jax.numpy as jnp
 
     from kangaroo_tpu.stereo import census as cm
-    from kangaroo_tpu.stereo import costvolume as cv
+    from kangaroo_tpu.stereo import dispatch as fast
 
     rng = np.random.default_rng(0)
     left = jnp.asarray((rng.random((480, 640)) * 255).astype(np.uint8))
     right = jnp.asarray((rng.random((480, 640)) * 255).astype(np.uint8))
 
-    @jax.jit
     def f(l, r):
         cl = cm.census(l, "16x16")
         cr = cm.census(r, "16x16")
         vol = cm.census_cost_volume(cl, cr, 64, -1, 256)
-        return cv.cost_vol_minimum_subpix(vol, -1)
+        return fast.cost_vol_minimum_subpix(vol, -1)
 
     return 1.0 / _timeit(f, left, right, iters=iters)
 
 
-def bench_filters(iters=20):
-    import jax
+def bench_filters(iters=10):
     import jax.numpy as jnp
 
     from kangaroo_tpu.ops import bilateral, blur
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((480, 640)).astype(np.float32))
-    g = jax.jit(lambda x: blur.gaussian_blur(x, 2.0, rad=10))
-    b = jax.jit(lambda x: bilateral.bilateral(x, 2.0, 0.1, 5))
+    g = lambda x: blur.gaussian_blur(x, 2.0, rad=10)
+    b = lambda x: bilateral.bilateral(x, 2.0, 0.1, 5)
     return 1e3 * _timeit(g, img, iters=iters), 1e3 * _timeit(b, img, iters=iters)
 
 
-def bench_variational(iters=5):
-    import jax
+def bench_variational(iters=4):
     import jax.numpy as jnp
 
     from kangaroo_tpu.variational import rof, tgv
 
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.random((480, 640)).astype(np.float32))
-    r = jax.jit(lambda x: rof.denoise(x, lam=8.0, iterations=100))
-    t = jax.jit(lambda x: tgv.denoise(x, iterations=100))
+    r = lambda x: rof.denoise(x, lam=8.0, iterations=100)
+    t = lambda x: tgv.denoise(x, iterations=100)
     return 1e3 * _timeit(r, img, iters=iters), 1e3 * _timeit(t, img, iters=iters)
 
 
-def bench_fusion(iters=10):
-    """KinectFusion inner loop: TSDF fuse + raycast, 256^3 volume, 640x480."""
-    import jax
+def bench_fusion(iters=4):
+    """KinectFusion inner loop: TSDF fuse + raycast, 256^3 volume, 640x480.
+
+    Uses the fast TPU paths (nearest-neighbour packed fuse, guided raycast);
+    both are gather-bound — see docs/PERF.md for the analysis.
+    """
     import jax.numpy as jnp
 
     import kangaroo_tpu as kt
@@ -111,16 +108,15 @@ def bench_fusion(iters=10):
     vbo = depth_mod.depth_to_vbo(depth, K)
     norm = depth_mod.normals_from_vbo(vbo)
 
-    @jax.jit
     def step(val, weight, depth, norm):
         v = kt.TsdfVolume(val, weight, bbox)
-        v = sdf_mod.sdf_fuse(v, depth, norm, T_cw, K, 0.03, 1000.0, 0.1)
-        d, n, img = rc.raycast_sdf(v, T_wc, K, W, H, near=0.5, far=6.0,
-                                   trunc_dist=0.03, max_steps=256)
+        v = sdf_mod.sdf_fuse(v, depth, norm, T_cw, K, 0.03, 1000.0, 0.1,
+                             sample="nearest")
+        d, n, img = rc.raycast_sdf_guided(v, T_wc, K, W, H, near=0.5, far=6.0,
+                                          trunc_dist=0.03)
         return v.val, v.weight, d
 
-    dt = _timeit(step, vol.val, vol.weight, depth, norm, iters=iters)
-    return 1e3 * dt
+    return 1e3 * _timeit(step, vol.val, vol.weight, depth, norm, iters=iters)
 
 
 def main():

@@ -53,6 +53,10 @@ class KinectFusionConfig:
     far: float = 4.0  # kfar
     motion_prior: float = 0.1 / 0.2  # depthSigma/motionSigma (main.cpp:315-318)
     depth_scale: float = 1.0  # 1/1000 for mm inputs
+    # fast=True uses the TPU-optimised paths: nearest-neighbour packed
+    # sampling in the fuse and the coarse-to-fine guided raycast; False
+    # reproduces the reference's bilinear fuse + full sphere trace.
+    fast: bool = True
 
 
 def preprocess_depth(depth_raw, K: Intrinsics, cfg: KinectFusionConfig):
@@ -89,8 +93,12 @@ def raycast_model(vol: TsdfVolume, T_wl, K: Intrinsics, cfg: KinectFusionConfig,
             continue
         Kl = K.level(l)
         w_l, h_l = cfg.w >> l, cfg.h >> l
-        d, n, _ = rc.raycast_sdf(vol, T_wl, Kl, w_l, h_l, cfg.near, cfg.far,
-                                 trunc_dist=trunc, subpix=True)
+        if cfg.fast and w_l % 4 == 0 and h_l % 4 == 0:
+            d, n, _ = rc.raycast_sdf_guided(vol, T_wl, Kl, w_l, h_l, cfg.near,
+                                            cfg.far, trunc_dist=trunc, subpix=True)
+        else:
+            d, n, _ = rc.raycast_sdf(vol, T_wl, Kl, w_l, h_l, cfg.near, cfg.far,
+                                     trunc_dist=trunc, subpix=True)
         out_d.append(d)
         out_v.append(depth_mod.depth_to_vbo(d, Kl))
         out_n.append(n)
@@ -173,6 +181,7 @@ class KinectFusion:
             self.vol = sdf_mod.sdf_fuse(
                 self.vol, kin_v[0][..., 2], kin_n[0], T_lw, self.K,
                 self.trunc_dist, cfg.max_w, cfg.min_cos_theta,
+                sample="nearest" if cfg.fast else "bilinear",
             )
         self.frame += 1
         return self.T_wl
@@ -182,8 +191,12 @@ class KinectFusion:
         cfg = self.cfg
         T = self.T_wl if T_wc is None else T_wc
         Kl = self.K.level(level)
+        w_l, h_l = cfg.w >> level, cfg.h >> level
+        if cfg.fast and w_l % 4 == 0 and h_l % 4 == 0:
+            return rc.raycast_sdf_guided(self.vol, T, Kl, w_l, h_l, cfg.near,
+                                         cfg.far, trunc_dist=self.trunc_dist)
         return rc.raycast_sdf(
-            self.vol, T, Kl, cfg.w >> level, cfg.h >> level, cfg.near, cfg.far,
+            self.vol, T, Kl, w_l, h_l, cfg.near, cfg.far,
             trunc_dist=self.trunc_dist,
         )
 

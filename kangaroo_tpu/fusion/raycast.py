@@ -51,16 +51,31 @@ class _March(NamedTuple):
     steps: jnp.ndarray
 
 
-@functools.partial(jax.jit, static_argnames=("w", "h", "subpix", "max_steps"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "h", "subpix", "max_steps", "march_sample",
+                     "skip_unobserved"),
+)
 def raycast_sdf(vol: TsdfVolume, T_wc, K, w: int, h: int, near=0.1, far=10.0,
                 trunc_dist=None, subpix: bool = True, max_steps: int = 512,
-                color_vol: BoundedVolume | None = None):
+                color_vol: BoundedVolume | None = None,
+                march_sample: str = "trilinear", skip_unobserved: float = 0.0,
+                lam_init=None, done_init=None):
     """Raycast the TSDF (RaycastSdf, cu_raycast.cu:34-113; colour overload
     :119-196).
 
     Returns (depth, normals, img): depth (h, w) with NaN misses; normals
     (h, w, 4) camera-frame with w=1 hit flag; img = Phong shading, or
     trilinear colour samples when ``color_vol`` is given.
+
+    ``march_sample='nearest'`` marches on nearest-neighbour (val, weight)
+    fetched with a single packed gather per step instead of the reference's
+    8-corner trilinear read (cu_raycast.cu:66) — TPU gathers dominate the
+    cost, so this is ~8x faster per step at voxel-quantised accuracy (the
+    subpixel zero-crossing interpolation still applies).
+    ``skip_unobserved`` > 0 takes steps of that many voxels through never-
+    observed space (weight == 0), which cannot contain a surface crossing;
+    the reference crawls NaN regions at one voxel per step.
     """
     c_w = se3.translation(T_wc)
     ray_c = K.unproject_grid(w, h)  # (h, w, 3)
@@ -71,21 +86,44 @@ def raycast_sdf(vol: TsdfVolume, T_wc, K, w: int, h: int, near=0.1, far=10.0,
     if trunc_dist is None:
         trunc_dist = 2.0 * voxel
 
+    if lam_init is not None:
+        lam0 = jnp.maximum(max_tmin, lam_init)
+        dead = done_init if done_init is not None else jnp.zeros((h, w), bool)
+    else:
+        lam0 = max_tmin
+        dead = jnp.zeros((h, w), bool)
+
     init = _March(
-        lam=max_tmin,
+        lam=lam0,
         last_sdf=jnp.full((h, w), jnp.nan, jnp.float32),
         last_delta=jnp.zeros((h, w), jnp.float32),
         depth=jnp.zeros((h, w), jnp.float32),
-        done=~hit_box,
+        done=(~hit_box) | dead,
         steps=jnp.zeros((), jnp.int32),
     )
+
+    if march_sample == "nearest":
+        Dv, Hv, Wv = vol.val.shape
+        packed = jnp.stack([vol.val, vol.weight], axis=-1).reshape(-1, 2)
+        nvox = jnp.array([Wv - 1, Hv - 1, Dv - 1], jnp.float32)
+
+        def sample_march(pos_w):
+            pf = (pos_w - vol.bbox.lo) / vol.bbox.size() * nvox
+            ix = jnp.clip(jnp.floor(pf[..., 0] + 0.5), 0, Wv - 1).astype(jnp.int32)
+            iy = jnp.clip(jnp.floor(pf[..., 1] + 0.5), 0, Hv - 1).astype(jnp.int32)
+            iz = jnp.clip(jnp.floor(pf[..., 2] + 0.5), 0, Dv - 1).astype(jnp.int32)
+            got = jnp.take(packed, (iz * Hv + iy) * Wv + ix, axis=0)
+            return got[..., 0], got[..., 1]
+    else:
+        def sample_march(pos_w):
+            return vol.sample_trilinear_world(pos_w), None
 
     def cond(s: _March):
         return (~jnp.all(s.done)) & (s.steps < max_steps)
 
     def body(s: _March):
         pos_w = c_w + s.lam[..., None] * ray_w
-        sdf = vol.sample_trilinear_world(pos_w)
+        sdf, obs_w = sample_march(pos_w)
         crossed = (sdf <= 0) & ~s.done
         surface = crossed & (s.last_sdf > 0)
         if subpix:
@@ -97,6 +135,8 @@ def raycast_sdf(vol: TsdfVolume, T_wc, K, w: int, h: int, near=0.1, far=10.0,
         # NaN sdf (unobserved voxels after SdfReset(NaN)) marches at the
         # minimum step, matching CUDA fmaxf's NaN-ignoring behaviour.
         delta = jnp.where(jnp.isnan(sdf), voxel, jnp.maximum(sdf, voxel))
+        if skip_unobserved > 0 and march_sample == "nearest":
+            delta = jnp.where(obs_w <= 0, skip_unobserved * voxel, delta)
         lam = jnp.where(done, s.lam, s.lam + delta)
         done = done | (lam >= min_tmax)
         return _March(
@@ -132,6 +172,65 @@ def raycast_sdf(vol: TsdfVolume, T_wc, K, w: int, h: int, near=0.1, far=10.0,
         0.0,
     )
     return depth_out, norm_out, img_out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "h", "subpix", "max_steps", "coarse_factor",
+                     "fine_steps", "march_sample", "skip_unobserved"),
+)
+def raycast_sdf_guided(vol: TsdfVolume, T_wc, K, w: int, h: int, near=0.1,
+                       far=10.0, trunc_dist=None, subpix: bool = True,
+                       max_steps: int = 512, coarse_factor: int = 4,
+                       fine_steps: int = 24, march_sample: str = "nearest",
+                       skip_unobserved: float = 4.0,
+                       color_vol: BoundedVolume | None = None):
+    """Coarse-to-fine SDF raycast: march at 1/coarse_factor resolution, then
+    start full-resolution rays just in front of the conservative minimum of
+    each pixel's coarse neighbourhood and finish in <= fine_steps.
+
+    A TPU-native acceleration (not in the reference): the expensive full-res
+    while_loop runs a bounded, short number of gather steps. Pixels whose
+    coarse neighbourhood is entirely a miss are declared misses (can clip
+    ~1px at silhouettes).
+    """
+    f = coarse_factor
+    Kc = Intrinsics_scale(K, f)
+    wc, hc = w // f, h // f
+    d_c, _, _ = raycast_sdf(vol, T_wc, Kc, wc, hc, near, far, trunc_dist,
+                            subpix=False, max_steps=max_steps,
+                            march_sample=march_sample,
+                            skip_unobserved=skip_unobserved)
+    voxel = vol.voxel_size_units()[0]
+    # conservative per-coarse-pixel start: min over the 3x3 neighbourhood
+    big = jnp.where(jnp.isfinite(d_c), d_c, jnp.inf)
+    p = jnp.pad(big, 1, mode="edge")
+    neigh = jnp.stack(
+        [p[dy : dy + hc, dx : dx + wc] for dy in range(3) for dx in range(3)], 0
+    )
+    start_c = jnp.min(neigh, axis=0)
+    miss_c = ~jnp.isfinite(start_c)
+    start = jnp.repeat(jnp.repeat(start_c, f, axis=0), f, axis=1)[:h, :w]
+    dead = jnp.repeat(jnp.repeat(miss_c, f, axis=0), f, axis=1)[:h, :w]
+    lam_init = jnp.where(dead, 0.0, start - 6.0 * voxel)
+    return raycast_sdf(vol, T_wc, K, w, h, near, far, trunc_dist,
+                       subpix=subpix, max_steps=fine_steps,
+                       march_sample=march_sample,
+                       skip_unobserved=skip_unobserved, color_vol=color_vol,
+                       lam_init=lam_init, done_init=dead)
+
+
+def Intrinsics_scale(K, f: int):
+    """Intrinsics for a 1/f-resolution image (matches K.level for power-of-two f)."""
+    import math
+
+    l = int(math.log2(f))
+    if 2**l == f:
+        return K.level(l)
+    from ..containers.intrinsics import Intrinsics
+
+    s = 1.0 / f
+    return Intrinsics(K.fu * s, K.fv * s, (K.u0 + 0.5) * s - 0.5, (K.v0 + 0.5) * s - 0.5)
 
 
 @functools.partial(jax.jit, static_argnames=("w", "h"))

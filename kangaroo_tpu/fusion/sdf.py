@@ -19,15 +19,33 @@ from ..containers.volume import BoundedVolume, TsdfVolume
 from ..core import sampling, se3
 
 
-def _project_voxels(vol, depth, normals, T_cw, K):
-    """Common geometry: world voxels -> camera -> pixel samples."""
+def _project_voxels(vol, depth, normals, T_cw, K, sample: str = "bilinear"):
+    """Common geometry: world voxels -> camera -> pixel samples.
+
+    ``sample``: 'bilinear' matches the reference exactly
+    (cu_sdffusion.cu:32-33); 'nearest' packs (depth, normal) into one 4-channel
+    image and fetches it with a single flattened gather — TPU gathers are the
+    fusion bottleneck (~9ns/element), so this is ~10x faster at slightly
+    coarser sampling (the reference's own earlier behaviour, the commented
+    GetNearestNeighbour at cu_sdffusion.cu:29-30).
+    """
     P_w = vol.voxel_positions()  # (D, H, W, 3)
     P_c = se3.transform(T_cw, P_w)
     p = K.project(P_c)  # (D, H, W, 2)
     u, v = p[..., 0], p[..., 1]
     in_img = sampling.in_bounds(depth, u, v, 2)
-    md = sampling.bilinear(depth, u, v)
-    mdn = sampling.bilinear(normals, u, v)[..., :3]
+    if sample == "nearest":
+        Hi, Wi = depth.shape
+        packed = jnp.concatenate([depth[..., None], normals[..., :3]], axis=-1)
+        packed_flat = packed.reshape(-1, 4)
+        ui = jnp.clip(jnp.floor(u + 0.5), 0, Wi - 1).astype(jnp.int32)
+        vi = jnp.clip(jnp.floor(v + 0.5), 0, Hi - 1).astype(jnp.int32)
+        got = jnp.take(packed_flat, vi * Wi + ui, axis=0)
+        md = got[..., 0]
+        mdn = got[..., 1:4]
+    else:
+        md = sampling.bilinear(depth, u, v)
+        mdn = sampling.bilinear(normals, u, v)[..., :3]
     vd = P_c[..., 2]
     costheta = jnp.sum(mdn * P_c, axis=-1) / -jnp.linalg.norm(P_c, axis=-1)
     sd = costheta * (md - vd)
@@ -36,13 +54,14 @@ def _project_voxels(vol, depth, normals, T_cw, K):
 
 
 def sdf_fuse(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist, max_w=1000.0,
-             mincostheta=0.1) -> TsdfVolume:
+             mincostheta=0.1, sample: str = "bilinear") -> TsdfVolume:
     """Fuse one depth frame into the TSDF (SdfFuse, cu_sdffusion.cu:16-61).
 
     depth: (Hi, Wi) metres; normals: (Hi, Wi, 4) camera-frame normals with
-    w=1 valid flag; T_cw: (3, 4) world->camera; K: Intrinsics.
+    w=1 valid flag; T_cw: (3, 4) world->camera; K: Intrinsics. ``sample``:
+    see _project_voxels ('nearest' for the fast TPU path).
     """
-    in_img, md, sd, w, costheta, _ = _project_voxels(vol, depth, normals, T_cw, K)
+    in_img, md, sd, w, costheta, _ = _project_voxels(vol, depth, normals, T_cw, K, sample)
     update = (
         in_img
         & (sd > -trunc_dist)
