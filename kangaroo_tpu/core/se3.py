@@ -129,6 +129,33 @@ def exp(xi):
     return jnp.concatenate([R, t[:, None]], axis=1)
 
 
+def log(T):
+    """SE3 log map: (3, 4) pose -> (tx, ty, tz, rx, ry, rz). Inverse of
+    :func:`exp`; used by the pose-graph residuals (extra/PoseGraph.h)."""
+    T = jnp.asarray(T, jnp.float32)
+    R = T[:, :3]
+    t = T[:, 3]
+    # clip strictly inside (-1, 1): arccos' gradient is infinite at +-1 and
+    # would propagate NaN through jacfwd (pose-graph Jacobians)
+    cos_theta = jnp.clip((jnp.trace(R) - 1.0) / 2.0, -1.0 + 1e-7, 1.0 - 1e-7)
+    theta = jnp.arccos(cos_theta)
+    theta2 = theta * theta
+    small = theta < 1e-5
+    # rotation vector from the skew-symmetric part
+    w_raw = jnp.stack([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    scale = jnp.where(small, 0.5 + theta2 / 12.0, theta / (2.0 * jnp.sin(theta) + 1e-30))
+    w = scale * w_raw
+    W = skew(w)
+    W2 = W @ W
+    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(theta2, 1e-30))
+    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(theta) / jnp.maximum(theta, 1e-30))
+    # V^-1 (closed form)
+    coef = jnp.where(small, 1.0 / 12.0, (1.0 - A / (2.0 * B)) / jnp.maximum(theta2, 1e-30))
+    Vinv = jnp.eye(3, dtype=jnp.float32) - 0.5 * W + coef * W2
+    v = Vinv @ t
+    return jnp.concatenate([v, w])
+
+
 def to_matrix4(T):
     """(3, 4) -> (4, 4) homogeneous."""
     bottom = jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32)

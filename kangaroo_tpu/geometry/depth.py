@@ -73,3 +73,67 @@ def normals_from_vbo(points):
     valid = valid.at[:, -1].set(0.0).at[-1, :].set(0.0)
     n = jnp.where(valid[..., None] > 0, n, 0.0)
     return jnp.concatenate([n, valid[..., None]], axis=-1)
+
+
+def texture_depth(depth, normals, keyframe_img, K_kf, T_iw, T_wd, K_depth):
+    """Texture a depth map from one keyframe (TextureDepth,
+    cu_depth_tools.cu:123-159).
+
+    keyframe_img: (Hk, Wk[, 3]); T_iw: keyframe world->image-camera (3, 4);
+    T_wd: depth-camera -> world. Returns (H, W, 4) float colour in [0, 1]
+    (alpha 1), black where unprojectable or facing away (N.z >= -0.2).
+    """
+    import jax.numpy as jnp
+
+    H, W = depth.shape
+    P_d = K_depth.unproject_grid(W, H, depth)
+    P_w = se3.transform(T_wd, P_d)
+    N_w = se3.rotate(T_wd, normals[..., :3])
+    P_kf = se3.transform(T_iw, P_w)
+    p = K_kf.project(P_kf)
+    N_c = se3.rotate(T_iw, N_w)
+    ok = sampling.in_bounds(keyframe_img, p[..., 0], p[..., 1], 2) & (
+        N_c[..., 2] < -0.2
+    )
+    rgb = sampling.bilinear(keyframe_img, p[..., 0], p[..., 1])
+    if rgb.ndim == 2:
+        rgb = rgb[..., None].repeat(3, axis=-1)
+    rgb = rgb / 255.0
+    out = jnp.where(ok[..., None], rgb, 0.0)
+    return jnp.concatenate([out, jnp.ones((H, W, 1), jnp.float32)], axis=-1)
+
+
+def texture_depth_keyframes(depth, normals, phong, keyframes, T_wd, K_depth,
+                            min_ndot=0.1):
+    """Weighted multi-keyframe texturing (TextureDepth over Mat<Keyframe,10>,
+    cu_depth_tools.cu:165-214). ``keyframes`` is a list of (img, K, T_iw);
+    weights are the view-alignment ndot = N.P/|P|; falls back to the phong
+    shading where no keyframe sees the point.
+    """
+    import jax.numpy as jnp
+
+    H, W = depth.shape
+    P_d = K_depth.unproject_grid(W, H, depth)
+    P_w = se3.transform(T_wd, P_d)
+    N_w = se3.rotate(T_wd, normals[..., :3])
+    colour = jnp.zeros((H, W, 3), jnp.float32)
+    wsum = jnp.zeros((H, W), jnp.float32)
+    for img, K_kf, T_iw in keyframes:
+        P_kf = se3.transform(T_iw, P_w)
+        p = K_kf.project(P_kf)
+        N_c = se3.rotate(T_iw, N_w)
+        ndot = jnp.sum(N_c * P_kf, axis=-1) / -jnp.linalg.norm(P_kf, axis=-1)
+        ok = (
+            sampling.in_bounds(img, p[..., 0], p[..., 1], 2)
+            & (ndot > min_ndot)
+            & (P_kf[..., 2] > 0)
+        )
+        rgb = sampling.bilinear(img, p[..., 0], p[..., 1])
+        if rgb.ndim == 2:
+            rgb = rgb[..., None].repeat(3, axis=-1)
+        w = jnp.where(ok, ndot, 0.0)
+        colour = colour + w[..., None] * rgb / 255.0
+        wsum = wsum + w
+    fallback = jnp.repeat(phong[..., None], 3, axis=-1)
+    out = jnp.where(wsum[..., None] > 0, colour / jnp.maximum(wsum, 1e-9)[..., None], fallback)
+    return jnp.concatenate([out, jnp.ones((H, W, 1), jnp.float32)], axis=-1)

@@ -1,0 +1,113 @@
+"""Pose-graph optimisation.
+
+Capability-equivalent of extra/PoseGraph.h (:1-396), which wraps Ceres:
+keyframe poses with binary relative-pose constraints and optional unary pose
+priors (the reference's Vicon alignment). Here the graph is solved with
+Gauss-Newton on-device: residuals are SE3 log errors, Jacobians come from
+jax.jacfwd, and the stacked 6N normal equations solve densely — appropriate
+for the tens-to-hundreds of keyframes the reference targets (its background
+solve thread becomes an explicit `optimize` call).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import se3
+
+
+@dataclasses.dataclass
+class PoseGraph:
+    """Keyframe poses T_wk plus constraints (PoseGraph.h AddKeyframe /
+    AddRelativeKeyframe / AddBinaryEdge semantics)."""
+
+    poses: List[np.ndarray] = dataclasses.field(default_factory=list)
+    # (i, j, T_ji): measured pose of frame i expressed in frame j
+    edges: List[Tuple[int, int, np.ndarray]] = dataclasses.field(default_factory=list)
+    # (i, T_wi_measured): unary priors (Vicon-style)
+    priors: List[Tuple[int, np.ndarray]] = dataclasses.field(default_factory=list)
+
+    def add_keyframe(self, T_wk=None) -> int:
+        self.poses.append(
+            np.asarray(T_wk if T_wk is not None else se3.identity(), np.float32)
+        )
+        return len(self.poses) - 1
+
+    def add_relative_edge(self, i: int, j: int, T_ji) -> None:
+        """Constrain T_jw * T_wi = T_ji."""
+        self.edges.append((i, j, np.asarray(T_ji, np.float32)))
+
+    def add_prior(self, i: int, T_wi) -> None:
+        self.priors.append((i, np.asarray(T_wi, np.float32)))
+
+    def optimize(self, iterations: int = 10, damping: float = 1e-4,
+                 fix_first: bool = True) -> float:
+        """Gauss-Newton over all poses; returns the final residual norm."""
+        n = len(self.poses)
+        if n == 0:
+            return 0.0
+        poses0 = jnp.asarray(np.stack(self.poses))  # (n, 3, 4)
+        edges = [(i, j, jnp.asarray(T)) for i, j, T in self.edges]
+        priors = [(i, jnp.asarray(T)) for i, T in self.priors]
+
+        def residuals(xi_flat, poses):
+            xi = xi_flat.reshape(n, 6)
+            Ts = [se3.compose(se3.exp(xi[k]), poses[k]) for k in range(n)]
+            rs = []
+            for i, j, T_ji in edges:
+                T_err = se3.compose(
+                    se3.inverse(T_ji), se3.compose(se3.inverse(Ts[j]), Ts[i])
+                )
+                rs.append(se3.log(T_err))
+            for i, T_wi in priors:
+                rs.append(se3.log(se3.compose(se3.inverse(T_wi), Ts[i])))
+            return jnp.concatenate(rs) if rs else jnp.zeros((0,))
+
+        poses = poses0
+        final = 0.0
+        for _ in range(iterations):
+            x0 = jnp.zeros(n * 6)
+            J = jax.jacfwd(residuals)(x0, poses)
+            r = residuals(x0, poses)
+            if fix_first:
+                mask = jnp.ones(n * 6).at[:6].set(0.0)
+                J = J * mask[None, :]
+            A = J.T @ J + damping * jnp.eye(n * 6)
+            dx = -jnp.linalg.solve(A, J.T @ r)
+            if fix_first:
+                dx = dx.at[:6].set(0.0)
+            xi = dx.reshape(n, 6)
+            poses = jnp.stack([se3.compose(se3.exp(xi[k]), poses[k]) for k in range(n)])
+            final = float(jnp.linalg.norm(residuals(jnp.zeros(n * 6), poses)))
+        self.poses = [np.asarray(poses[k]) for k in range(n)]
+        return final
+
+
+def load_poses_from_file(path: str):
+    """Load a pose trajectory text file: one pose per line, either 12 values
+    (row-major 3x4) or 6 values (x y z roll pitch yaw, the mvl convention of
+    extra/LoadPosesFromFile.h). Returns a list of (3, 4) float32 arrays."""
+    poses = []
+    with open(path) as f:
+        for line in f:
+            vals = [float(v) for v in line.replace(",", " ").split()]
+            if len(vals) == 12:
+                poses.append(np.asarray(vals, np.float32).reshape(3, 4))
+            elif len(vals) == 6:
+                x, y, z, r, p, q = vals
+                cr, sr = np.cos(r), np.sin(r)
+                cp, sp = np.cos(p), np.sin(p)
+                cq, sq = np.cos(q), np.sin(q)
+                Rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+                Ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+                Rz = np.array([[cq, -sq, 0], [sq, cq, 0], [0, 0, 1]])
+                R = Rz @ Ry @ Rx
+                T = np.concatenate([R, [[x], [y], [z]]], axis=1)
+                poses.append(T.astype(np.float32))
+            elif vals:
+                raise ValueError(f"unsupported pose line with {len(vals)} values")
+    return poses

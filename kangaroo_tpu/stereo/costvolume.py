@@ -232,3 +232,63 @@ def cost_volume_from_stereo(img_l, img_r, max_disp: int, sd: int = -1, rad: int 
 def cost_elem_to_float(n, s):
     """CostVolElem::operator float: sum/n, 1e30 when n == 0 (CostVolElem.h:14-18)."""
     return jnp.where(n > 0, s / jnp.maximum(n, 1.0), 1e30)
+
+
+def cost_volume_zero(max_disp: int, h: int, w: int):
+    """Zeroed running-mean cost volume (CostVolumeZero, cu_dense_stereo.cu:652)."""
+    return (
+        jnp.zeros((max_disp, h, w), jnp.float32),
+        jnp.zeros((max_disp, h, w), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("rad",))
+def cost_volume_add(n, s, img_v, img_c, KT_cv, K, baseline, rad: int = 1):
+    """Accumulate a posed view into a running-mean cost volume
+    (CostVolumeAdd, cu_dense_stereo.cu:693-731).
+
+    For each (u, v, d): unproject at depth fu*baseline/d in the volume
+    ("keyframe") camera, project into the contributing camera via KT_cv
+    (3, 4), and add the zero-mean SAD patch score between img_v at (u, v) and
+    img_c sampled bilinearly at the projection. (n, s) are the (D, H, W)
+    count/sum accumulators; returns the updated pair.
+    """
+    D, H, W = n.shape
+    fv_img = img_v.astype(jnp.float32)
+    fc_img = img_c.astype(jnp.float32)
+    area = float((2 * rad + 1) ** 2)
+    vgrid, ugrid = jnp.mgrid[0:H, 0:W].astype(jnp.float32)
+
+    def one_d(d):
+        z = K.fu * baseline / jnp.maximum(d.astype(jnp.float32), 1e-9)
+        Pv = jnp.stack(
+            [z * (ugrid - K.u0) / K.fu, z * (vgrid - K.v0) / K.fv,
+             jnp.broadcast_to(z, ugrid.shape)], axis=-1,
+        )
+        KPc = Pv @ KT_cv[:, :3].T + KT_cv[:, 3]
+        pu = KPc[..., 0] / KPc[..., 2]
+        pv = KPc[..., 1] / KPc[..., 2]
+        ok = (KPc[..., 2] > 0) & sampling.in_bounds(fc_img, pu, pv, 5)
+        # zero-mean SAD with bilinear access on the contributing image
+        mean_v = jnp.zeros_like(fv_img)
+        mean_c = jnp.zeros_like(fv_img)
+        for dy in range(-rad, rad + 1):
+            for dx in range(-rad, rad + 1):
+                mean_v = mean_v + sampling.get_clamped(
+                    fv_img, jnp.clip(ugrid.astype(jnp.int32) + dx, 0, W - 1),
+                    jnp.clip(vgrid.astype(jnp.int32) + dy, 0, H - 1))
+                mean_c = mean_c + sampling.bilinear(fc_img, pu + dx, pv + dy)
+        mean_v = mean_v / area
+        mean_c = mean_c / area
+        acc = jnp.zeros_like(fv_img)
+        for dy in range(-rad, rad + 1):
+            for dx in range(-rad, rad + 1):
+                a = sampling.get_clamped(
+                    fv_img, jnp.clip(ugrid.astype(jnp.int32) + dx, 0, W - 1),
+                    jnp.clip(vgrid.astype(jnp.int32) + dy, 0, H - 1))
+                b = sampling.bilinear(fc_img, pu + dx, pv + dy)
+                acc = acc + jnp.abs((a - mean_v) - (b - mean_c))
+        return jnp.where(ok, acc / area, 0.0), ok.astype(jnp.float32)
+
+    scores, oks = jax.vmap(one_d)(jnp.arange(D))
+    return n + oks, s + scores
