@@ -1,0 +1,66 @@
+"""KinectFusion end-to-end on a synthetic orbit sequence: tracking + fusion +
+render + mesh export.
+
+Offline equivalent of applications/kinectfusion/main.cpp.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+import _common
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--volres", type=int, default=96)
+    ap.add_argument("--width", type=int, default=160)
+    ap.add_argument("--height", type=int, default=120)
+    ap.add_argument("--levels", type=int, default=2)
+    args = ap.parse_args()
+
+    import kangaroo_tpu as kt
+    from kangaroo_tpu.apps import kinectfusion as kf
+    from kangaroo_tpu.apps import synthetic
+
+    out = _common.out_dir()
+    K = kt.Intrinsics.centered(args.width * 0.9, args.width, args.height)
+    cfg = kf.KinectFusionConfig(
+        w=args.width, h=args.height, vol_res=args.volres, vol_extent=1.2,
+        max_levels=args.levels, its=(2,) * args.levels, near=0.5, far=6.0,
+        max_rmse=0.3,
+    )
+    pipe = kf.KinectFusion(K, cfg)
+    scene = synthetic.sphere_scene(res=128)
+
+    errs = []
+    for i, (T_wc, depth) in enumerate(
+        synthetic.depth_sequence(args.frames, K, args.width, args.height,
+                                 scene=scene, step=0.02)
+    ):
+        depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
+        if i == 0:
+            pipe.T_wl = T_wc
+        est = pipe.process_frame(depth)
+        err = float(jnp.abs(est - T_wc).max())
+        errs.append(err)
+        print(f"frame {i}: rmse {pipe.rmse:.4f} tracking_good={pipe.tracking_good} "
+              f"pose err {err:.4f}")
+
+    d, n, img = pipe.render()
+    _common.save_png(f"{out}/kf_render.png", img)
+    _common.save_png(f"{out}/kf_depth.png", jnp.where(jnp.isfinite(d), d, 0.0))
+    tris = pipe.save_mesh(f"{out}/kf_mesh.ply")
+    pipe.save_volume(f"{out}/kf_save.vol")
+    print(f"final pose drift {errs[-1]:.4f}; mesh {len(tris)} tris; "
+          f"wrote kf_render.png, kf_depth.png, kf_mesh.ply, kf_save.vol to {out}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Stereo pipelines end-to-end on a synthetic pair: SGM, DTAM-variational,
+and raw WTA; exports disparity maps, depth and a point cloud.
+
+Offline equivalent of applications/stereo/main.cpp and stereo2/main.cpp.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+import _common
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=320)
+    ap.add_argument("--height", type=int, default=240)
+    ap.add_argument("--maxdisp", type=int, default=32)
+    ap.add_argument("--mode", choices=["sgm", "dtam", "wta"], default="sgm")
+    ap.add_argument("--baseline", type=float, default=0.1)
+    args = ap.parse_args()
+
+    from kangaroo_tpu import Intrinsics
+    from kangaroo_tpu.apps import stereo as stereo_app
+    from kangaroo_tpu.apps import stereo_sgm, synthetic
+    from kangaroo_tpu.fusion.marching_cubes import save_ply
+
+    out = _common.out_dir()
+    left, right, gt = synthetic.stereo_pair(args.width, args.height, args.maxdisp)
+    _common.save_png(f"{out}/left.png", left)
+    _common.save_png(f"{out}/gt_disp.png", gt)
+
+    if args.mode == "sgm":
+        cfg = stereo_sgm.SgmConfig(max_disp=args.maxdisp, census_window="9x7")
+        disp = stereo_sgm.sgm_pipeline(left, right, cfg)
+    else:
+        cfg = stereo_app.StereoConfig(max_disp=args.maxdisp, census_window="9x7",
+                                      dtam_iterations=50)
+        disp = stereo_app.stereo_pipeline(left, right, cfg, use_dtam=args.mode == "dtam")
+
+    g = np.asarray(gt)
+    d = np.asarray(disp)
+    m = np.isfinite(d)
+    m[:, : args.maxdisp] = False
+    err = np.abs(d[m] - g[m])
+    print(f"{args.mode}: valid {m.mean():.2%}, median err {np.median(err):.3f} px, "
+          f"<1px {np.mean(err < 1):.2%}")
+    _common.save_png(f"{out}/disp_{args.mode}.png", jnp.where(jnp.isfinite(disp), disp, 0.0))
+
+    K = Intrinsics.centered(args.width * 0.9, args.width, args.height)
+    depth, cloud = stereo_app.depth_and_cloud(disp, K, args.baseline, min_disp=1.0)
+    _common.save_png(f"{out}/depth_{args.mode}.png", jnp.where(jnp.isfinite(depth), depth, 0.0))
+    pts = np.asarray(cloud).reshape(-1, 4)
+    pts = pts[np.isfinite(pts[:, 2]) & (pts[:, 3] > 0)][:, :3]
+    save_ply(f"{out}/cloud_{args.mode}.ply", pts.reshape(-1, 1, 3).repeat(3, 1))
+    print(f"wrote disparity/depth/point cloud to {out}/")
+
+
+if __name__ == "__main__":
+    main()
