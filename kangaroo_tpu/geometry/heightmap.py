@@ -119,3 +119,64 @@ def triangle_strip_index_buffer(w: int, h: int):
             idx.append(y * w + x)
             idx.append((y + 1) * w + x)
     return np.asarray(idx, np.uint32)
+
+
+class HeightmapFusion:
+    """Stateful wrapper composing the heightmap kernels with the
+    world<->heightmap transform bookkeeping (extra/HeightmapFusion.h:12-214).
+
+    Cells are ``cell_size`` world units; the grid origin is the world point
+    mapped to cell (0, 0) by T_hw.
+    """
+
+    def __init__(self, width_units: float, height_units: float,
+                 cell_size: float, T_hw=None):
+        import jax.numpy as jnp
+        import numpy as np
+
+        self.cell_size = cell_size
+        self.w = int(round(width_units / cell_size))
+        self.h = int(round(height_units / cell_size))
+        scale = 1.0 / cell_size
+        S = np.diag([scale, scale, 1.0]).astype(np.float32)
+        base = np.asarray(T_hw if T_hw is not None else se3.identity(), np.float32)
+        self.T_hw = jnp.asarray(np.concatenate([S @ base[:, :3], S @ base[:, 3:]], 1))
+        self.hm = init_heightmap(self.w, self.h)
+
+    def fuse(self, points_world, image=None, min_height=-1e10, max_height=1e10,
+             max_distance=1e10):
+        """Bin world-frame points into the grid (HeightmapFusion::Fuse)."""
+        self.hm = update_heightmap(self.hm, points_world, image, self.T_hw,
+                                   min_height, max_height, max_distance)
+        return self.hm
+
+    def world_vbo(self):
+        """World-frame vertex grid + colour image (GenerateWorldVboAndImage...)."""
+        import numpy as np
+        import jax.numpy as jnp
+
+        R = np.asarray(self.T_hw)[:, :3]
+        t = np.asarray(self.T_hw)[:, 3]
+        Rinv = np.linalg.inv(R)
+        T_wh = jnp.asarray(
+            np.concatenate([Rinv, -(Rinv @ t)[:, None]], 1).astype(np.float32)
+        )
+        return generate_world_vbo_and_image(self.hm, T_wh)
+
+    def save_mesh(self, path: str):
+        """Triangle-strip mesh export (HeightmapFusion::SaveModel)."""
+        import numpy as np
+
+        from ..fusion.marching_cubes import save_ply
+
+        vbo, img = self.world_vbo()
+        verts = np.asarray(vbo)[..., :3].reshape(-1, 3)
+        idx = triangle_strip_index_buffer(self.w, self.h)
+        # triangle strip -> triangle soup
+        tris = []
+        for i in range(len(idx) - 2):
+            a, b, c = idx[i], idx[i + 1], idx[i + 2]
+            if a != b and b != c and a != c:
+                tris.append((verts[a], verts[b], verts[c]))
+        save_ply(path, np.asarray(tris, np.float32))
+        return len(tris)
