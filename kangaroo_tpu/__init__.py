@@ -15,10 +15,21 @@ from .containers.bbox import BoundingBox, fit_to_frustum
 from .containers.intrinsics import Intrinsics, level_from_max_pixels
 from .containers.volume import BoundedVolume, TsdfVolume
 from .containers import pyramid
-from .core import invalid, reweighting, sampling, se3
+from .core import invalid, patch_score, reweighting, sampling, se3
 from .ops import convert, elementwise, resample
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy subpackage access: kangaroo_tpu.stereo, .fusion, .variational,
+    .geometry, .solvers, .parallel, .apps, .ops, .io, .utils."""
+    import importlib
+
+    if name in {"stereo", "fusion", "variational", "geometry", "solvers",
+                "parallel", "apps", "ops", "io", "utils", "backend"}:
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)
 
 __all__ = [
     "BoundingBox",

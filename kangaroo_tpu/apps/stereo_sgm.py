@@ -32,6 +32,11 @@ class SgmConfig:
     median_its: int = 1
     median_max_bad: int = 12
     subpix: bool = True
+    # derive the right disparity from the LEFT aggregated volume
+    # (dispR(x) = argmin_d aggL(d, y, x+d)) instead of building + aggregating
+    # a second volume — ~2x faster, not what the reference does (stereo2
+    # aggregates both volumes); off by default for parity.
+    lr_from_left: bool = False
 
 
 def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
@@ -53,11 +58,19 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
         disp_l = cv.cost_vol_minimum(agg_l, cfg.max_disp).astype(jnp.float32)
 
     if cfg.lr_check:
-        vol_r = census_mod.census_cost_volume(cr, cl, cfg.max_disp, 1, bits)
-        agg_r = fast.semi_global_matching(
-            vol_r, right_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert,
-            cfg.do_reverse, sd=1,
-        )
+        if cfg.lr_from_left:
+            # re-anchor the left aggregation on the right grid:
+            # aggR[d, y, x] = aggL[d, y, x + d]
+            D = cfg.max_disp
+            x = jnp.arange(agg_l.shape[2])
+            cols = jnp.clip(x[None, :] + jnp.arange(D)[:, None], 0, agg_l.shape[2] - 1)
+            agg_r = jnp.take_along_axis(agg_l, cols[:, None, :], axis=2)
+        else:
+            vol_r = census_mod.census_cost_volume(cr, cl, cfg.max_disp, 1, bits)
+            agg_r = fast.semi_global_matching(
+                vol_r, right_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert,
+                cfg.do_reverse, sd=1,
+            )
         if cfg.subpix:
             disp_r = fast.cost_vol_minimum_subpix(agg_r, 1)
         else:
