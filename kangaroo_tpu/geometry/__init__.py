@@ -1,0 +1,2 @@
+"""Geometry: depth tools, heightmaps, pose graphs, rectification."""
+from . import depth, heightmap, pose_graph, rectify

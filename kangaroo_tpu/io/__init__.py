@@ -1,1 +1,2 @@
-"""Host-side IO: PXM images/volumes (reference parity), PLY meshes."""
+"""Host-side IO: PXM images/volumes (reference parity), TSDF dumps."""
+from . import pxm

@@ -1,0 +1,2 @@
+"""Multi-chip scaling: meshes, sharded ops, frame-parallel batching."""
+from . import batch, mesh, sharding

@@ -1,0 +1,2 @@
+"""Gauss-Newton solvers: LSS, ICP, photometric, plane fit, calibration."""
+from . import calibration, icp, lss, manhattan, photometric, plane_fit

@@ -1,0 +1,2 @@
+"""Utilities: device timing."""
+from . import timing
