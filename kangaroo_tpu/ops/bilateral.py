@@ -82,3 +82,12 @@ def bilateral_cross(img, guide, gs, gr, size: int):
         s = s + w * q
         sw = sw + w
     return s / sw
+
+
+def bilateral_volume(vol, guide, gs, gr, size: int = 2):
+    """Cross-bilateral filter every disparity slice of a (D, H, W) cost
+    volume against the guide image — stereo2's cost-volume smoothing
+    (applications/stereo2/main.cpp bilateral filter pass)."""
+    import jax
+
+    return jax.vmap(lambda sl: bilateral_cross(sl, guide, gs, gr, size))(vol)
