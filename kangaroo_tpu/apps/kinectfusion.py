@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import BoundingBox, Intrinsics, TsdfVolume
+from .. import BoundingBox, BoundedVolume, Intrinsics, TsdfVolume
 from ..containers import pyramid as pyr_mod
 from ..core import se3
 from ..fusion import raycast as rc
@@ -57,6 +57,12 @@ class KinectFusionConfig:
     # sampling in the fuse and the coarse-to-fine guided raycast; False
     # reproduces the reference's bilinear fuse + full sphere trace.
     fast: bool = True
+    # colour fusion (use_colour, main.cpp:46,355): blend grey intensity into a
+    # colour volume and render from it. rgb_focal mirrors ui.RGB focal length;
+    # baseline_m is the depth->rgb camera offset (main.cpp:57,100-102).
+    use_colour: bool = False
+    rgb_focal: float = 535.7
+    rgb_baseline_m: float = 0.08
 
 
 def preprocess_depth(depth_raw, K: Intrinsics, cfg: KinectFusionConfig):
@@ -144,6 +150,18 @@ class KinectFusion:
         bb = BoundingBox.create((-cfg.vol_extent,) * 3, (cfg.vol_extent,) * 3)
         self.vol = TsdfVolume.create(cfg.vol_res, cfg.vol_res, cfg.vol_res, bb,
                                      trunc_dist=jnp.nan)  # SdfReset(NaN), main.cpp:224
+        self.color_vol = None
+        if cfg.use_colour:
+            # SdfReset(colorVol) fills 0.5 (cu_sdffusion.cu:166-169)
+            self.color_vol = BoundedVolume.create(
+                cfg.vol_res, cfg.vol_res, cfg.vol_res, bb, fill=0.5
+            )
+            # camera (rgb) to depth: T_cd = SE3(I, (baseline, 0, 0))^-1
+            # (main.cpp:100-102)
+            self.T_cd = jnp.asarray(
+                se3.inverse(se3.make(np.eye(3), [cfg.rgb_baseline_m, 0.0, 0.0]))
+            )
+            self.K_rgb = Intrinsics.centered(cfg.rgb_focal, cfg.w, cfg.h)
         self.T_wl = jnp.asarray(se3.identity())
         self.frame = 0
         self.tracking_good = True
@@ -161,9 +179,10 @@ class KinectFusion:
         self.T_wl = jnp.asarray(se3.identity() if T_wl is None else T_wl)
         self.frame = 0
 
-    def process_frame(self, depth_raw, fuse: bool = True,
+    def process_frame(self, depth_raw, rgb=None, fuse: bool = True,
                       pose_refinement: bool = True):
-        """One iteration of the main loop (main.cpp:190-360)."""
+        """One iteration of the main loop (main.cpp:190-360). ``rgb`` (H, W, 3)
+        enables colour fusion when the config has use_colour."""
         cfg = self.cfg
         _, kin_v, kin_n = preprocess_depth(depth_raw, self.K, cfg)
 
@@ -178,26 +197,38 @@ class KinectFusion:
 
         if fuse and self.tracking_good:
             T_lw = se3.inverse(self.T_wl)
-            self.vol = sdf_mod.sdf_fuse(
-                self.vol, kin_v[0][..., 2], kin_n[0], T_lw, self.K,
-                self.trunc_dist, cfg.max_w, cfg.min_cos_theta,
-                sample="nearest" if cfg.fast else "bilinear",
-            )
+            if cfg.use_colour and rgb is not None:
+                # T_iw = T_cd * T_wl^-1 (main.cpp:355)
+                T_iw = se3.compose(self.T_cd, T_lw)
+                self.vol, self.color_vol = sdf_mod.sdf_fuse_color(
+                    self.vol, self.color_vol, kin_v[0][..., 2], kin_n[0], T_lw,
+                    self.K, rgb, T_iw, self.K_rgb, self.trunc_dist, cfg.max_w,
+                    cfg.min_cos_theta,
+                )
+            else:
+                self.vol = sdf_mod.sdf_fuse(
+                    self.vol, kin_v[0][..., 2], kin_n[0], T_lw, self.K,
+                    self.trunc_dist, cfg.max_w, cfg.min_cos_theta,
+                    sample="nearest" if cfg.fast else "bilinear",
+                )
         self.frame += 1
         return self.T_wl
 
-    def render(self, T_wc=None, level: int = 0):
-        """View-only raycast (main.cpp:244-271)."""
+    def render(self, T_wc=None, level: int = 0, show_colour: bool = False):
+        """View-only raycast (main.cpp:244-271); show_colour renders from the
+        colour volume (showcolor, main.cpp:283-287)."""
         cfg = self.cfg
         T = self.T_wl if T_wc is None else T_wc
         Kl = self.K.level(level)
         w_l, h_l = cfg.w >> level, cfg.h >> level
+        cvol = self.color_vol if (show_colour and cfg.use_colour) else None
         if cfg.fast and w_l % 4 == 0 and h_l % 4 == 0:
             return rc.raycast_sdf_guided(self.vol, T, Kl, w_l, h_l, cfg.near,
-                                         cfg.far, trunc_dist=self.trunc_dist)
+                                         cfg.far, trunc_dist=self.trunc_dist,
+                                         color_vol=cvol)
         return rc.raycast_sdf(
             self.vol, T, Kl, w_l, h_l, cfg.near, cfg.far,
-            trunc_dist=self.trunc_dist,
+            trunc_dist=self.trunc_dist, color_vol=cvol,
         )
 
     def save_mesh(self, path: str):

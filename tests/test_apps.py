@@ -109,6 +109,34 @@ class TestKinectFusionApp:
         assert drift < 0.06
         assert float(pipe.vol.weight.max()) > 0
 
+    def test_colour_fusion_and_render(self):
+        W, H = 48, 36
+        K = kt.Intrinsics.centered(40.0, W, H)
+        cfg = kf.KinectFusionConfig(w=W, h=H, vol_res=32, vol_extent=1.2,
+                                    max_levels=1, its=(1,), near=0.5, far=6.0,
+                                    use_colour=True, rgb_focal=40.0,
+                                    rgb_baseline_m=0.05)
+        pipe = kf.KinectFusion(K, cfg)
+        scene = synthetic.sphere_scene(res=48)
+        rgb = jnp.full((H, W, 3), 180.0)
+        for i, (T_wc, depth) in enumerate(
+            synthetic.depth_sequence(3, K, W, H, scene=scene, step=0.8)
+        ):
+            pipe.T_wl = T_wc
+            pipe.process_frame(jnp.where(jnp.isfinite(depth), depth, 0.0),
+                               rgb=rgb, pose_refinement=False)
+        assert float(pipe.vol.weight.max()) > 0
+        fused = np.asarray(pipe.color_vol.data)
+        touched = np.asarray(pipe.vol.weight) > 0
+        assert touched.any()
+        # grey 180/255 blended over the 0.5 reset value
+        assert abs(np.median(fused[touched]) - 180.0 / 255.0) < 0.2
+        d, n, img = pipe.render(show_colour=True)
+        hit = np.isfinite(np.asarray(d))
+        assert hit.any()
+        vals = np.asarray(img)[hit]
+        assert abs(np.median(vals) - 180.0 / 255.0) < 0.2
+
     def test_render_and_mesh(self, tmp_path):
         W, H = 48, 36
         K = kt.Intrinsics.centered(40.0, W, H)
