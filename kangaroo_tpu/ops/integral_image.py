@@ -56,6 +56,27 @@ def box_filter(img, rad: int):
 
 
 @functools.partial(jax.jit, static_argnames=("rad",))
+def box_filter_integral_image(ii_padded, rad: int):
+    """4-corner box mean from a (H+1, W+1) zero-padded inclusive integral
+    image (BoxFilterIntegralImage, cu_integral_image.cu:129-166, with the
+    window/area off-by-one corrected — see module docstring)."""
+    H, W = ii_padded.shape[0] - 1, ii_padded.shape[1] - 1
+    y = jnp.arange(H)
+    x = jnp.arange(W)
+    y0 = jnp.clip(y - rad, 0, H - 1)
+    y1 = jnp.clip(y + rad, 0, H - 1)
+    x0 = jnp.clip(x - rad, 0, W - 1)
+    x1 = jnp.clip(x + rad, 0, W - 1)
+    A = ii_padded[y0[:, None], x0[None, :]]
+    B = ii_padded[y0[:, None], x1[None, :] + 1]
+    C = ii_padded[y1[:, None] + 1, x1[None, :] + 1]
+    D = ii_padded[y1[:, None] + 1, x0[None, :]]
+    s = C + A - B - D
+    area = ((y1 - y0 + 1)[:, None] * (x1 - x0 + 1)[None, :]).astype(jnp.float32)
+    return s / area
+
+
+@functools.partial(jax.jit, static_argnames=("rad",))
 def mean_variance(I, rad: int):
     """(var_I, mean_II, mean_I) (ComputeMeanVarience, cu_integral_image.h:41-54)."""
     mean_i = box_filter(I, rad)

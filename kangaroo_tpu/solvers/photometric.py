@@ -151,6 +151,24 @@ def pose_refinement_from_depth_esm(
     return reduce_system(J, y, w, valid)
 
 
+def pose_refinement_from_disparity_esm(img_live, img_ref, disp_ref, baseline,
+                                       Klg, Krg, Krd, Tgd, Tlr, KlgTlr, c,
+                                       discard_saturated: bool = False,
+                                       min_depth=0.2, max_depth=20.0):
+    """PoseRefinementFromDisparityESM (cu_model_refinement.cu:420-455):
+    depth from disparity via the depth camera's intrinsics, then the ESM
+    builder."""
+    import jax.numpy as jnp
+
+    depth = jnp.where(
+        disp_ref > 0, Krd[0, 0] * baseline / jnp.maximum(disp_ref, 1e-9), jnp.nan
+    )
+    return pose_refinement_from_depth_esm(
+        img_live, img_ref, depth, Klg, Krg, Krd, Tgd, Tlr, KlgTlr, c,
+        discard_saturated, min_depth, max_depth,
+    )
+
+
 def kt_lr(K, T_lr):
     """K (3,3 or Intrinsics) times T_lr (3, 4)."""
     Km = K.matrix() if hasattr(K, "matrix") else jnp.asarray(K)
