@@ -265,3 +265,116 @@ def sharded_icp_point_plane(points_live, points_ref, normals_ref, KT_lr, T_rl,
     )
     JTJ, JTy, sq, obs = f(points_live, points_ref, normals_ref)
     return LSS(JTJ, JTy, sq, obs)
+
+
+# --------------------------------------------------------------------------
+# Row-sharded SGM: wavefront vertical scans + local horizontal scans
+# --------------------------------------------------------------------------
+
+
+def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1):
+    """4-path SGM with image rows sharded across the mesh (SURVEY.md §5's
+    "ring-attention analogue" for the SGM path axis).
+
+    Horizontal paths live entirely inside a row shard and run locally in
+    parallel (n-way speedup). Vertical paths are sequential along the image:
+    the scan carry (prev path costs, running best, last intensity) rides a
+    ppermute wavefront — shard k continues where shard k-1 stopped, exactly
+    reproducing the single-device recurrence. vol is (D, H, W) with H
+    sharded; returns the aggregated (D, H, W) volume (H sharded).
+    """
+    from ..stereo import sgm as sgm_mod
+
+    D, H, W = vol.shape
+    n = mesh.devices.size
+    assert H % n == 0
+    mask_mode_left = sd < 0
+
+    def local(v_blk, img_blk):
+        # v_blk (D, Hs, W) -> (Hs, W, D)
+        v = jnp.moveaxis(v_blk.astype(jnp.float32), 0, -1)
+        Hs = v.shape[0]
+        idx = jax.lax.axis_index(AXIS)
+        nsh = jax.lax.axis_size(AXIS)
+        d = jnp.arange(D)[None, None, :]
+        x = jnp.arange(W)[None, :, None]
+        dmask_row = jnp.broadcast_to((d <= x) if mask_mode_left else (x + d < W),
+                                     (1, W, D))[0]
+        dmask = jnp.broadcast_to(dmask_row[None], (Hs, W, D))
+
+        out = jnp.zeros_like(v)
+
+        # ---- horizontal paths: rows are local to the shard
+        vt = jnp.swapaxes(v, 0, 1)  # (W, Hs, D)
+        it = jnp.swapaxes(img_blk, 0, 1)
+        mt = jnp.swapaxes(dmask, 0, 1)
+        agg = sgm_mod._scan_direction(vt, it, mt, P1, P2, reverse=False)
+        agg = agg + sgm_mod._scan_direction(vt, it, mt, P1, P2, reverse=True)
+        out = out + jnp.swapaxes(agg, 0, 1)
+
+        # ---- vertical wavefronts
+        def wavefront(reverse: bool):
+            res = jnp.zeros_like(v)
+            prev = jnp.full((W, D), 1e30, jnp.float32)
+            best = jnp.zeros((W,), jnp.float32)
+            last_c = jnp.zeros((W,), jnp.float32)
+            vv = v if not reverse else v[::-1]
+            ii = img_blk if not reverse else img_blk[::-1]
+            perm = (
+                [(i, (i + 1) % nsh) for i in range(nsh)]
+                if not reverse
+                else [(i, (i - 1) % nsh) for i in range(nsh)]
+            )
+            for k in range(nsh):
+                active_id = k if not reverse else nsh - 1 - k
+
+                def run_seed(_):
+                    lr, fin = sgm_mod._scan_direction(
+                        vv, ii, dmask, P1, P2, reverse=False, return_carry=True
+                    )
+                    return lr, fin[0], fin[1], fin[2]
+
+                def run_carry(args):
+                    p, b, lc = args
+                    lr, fin = sgm_mod._scan_direction(
+                        vv, ii, dmask, P1, P2, reverse=False,
+                        carry_in=(p, b, lc, dmask_row), return_carry=True,
+                    )
+                    return lr, fin[0], fin[1], fin[2]
+
+                def passthrough(args):
+                    p, b, lc = args
+                    return jnp.zeros_like(v), p, b, lc
+
+                if k == 0:
+                    lr, prev, best, last_c = jax.lax.cond(
+                        idx == active_id,
+                        lambda a: run_seed(a),
+                        passthrough,
+                        (prev, best, last_c),
+                    )
+                else:
+                    lr, prev, best, last_c = jax.lax.cond(
+                        idx == active_id,
+                        run_carry,
+                        passthrough,
+                        (prev, best, last_c),
+                    )
+                res = res + lr
+                if k < nsh - 1:
+                    prev = jax.lax.ppermute(prev, AXIS, perm)
+                    best = jax.lax.ppermute(best, AXIS, perm)
+                    last_c = jax.lax.ppermute(last_c, AXIS, perm)
+            return res if not reverse else res[::-1]
+
+        out = out + wavefront(False)
+        out = out + wavefront(True)
+        return jnp.moveaxis(out, -1, 0)
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, AXIS, None), P(AXIS, None)),
+        out_specs=P(None, AXIS, None),
+        check_vma=False,
+    )
+    return f(vol, img)

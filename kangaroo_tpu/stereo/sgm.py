@@ -44,25 +44,32 @@ def _shift_min(prev, P1):
     return jnp.minimum(prev, jnp.minimum(left + P1, right + P1))
 
 
-def _scan_direction(vol, img, dmask, P1, P2, reverse: bool):
+def _scan_direction(vol, img, dmask, P1, P2, reverse: bool, carry_in=None,
+                    return_carry: bool = False):
     """Aggregate along axis 0 of vol (L, N, D); img is (L, N); dmask (L, N, D)
     marks lattice entries with d < min(maxDisp, x+1).
 
     Returns the per-direction path-cost volume Lr (L, N, D) with masked
     entries zero (the reference leaves them untouched at volH=0).
+
+    ``carry_in`` continues a scan across a sharded axis (the multi-chip
+    wavefront): a (prev_lr, last_best, last_c, prev_mask) tuple from the
+    upstream shard; the first local row then steps from it instead of
+    seeding. With ``return_carry`` the final carry is also returned.
     """
     if reverse:
         vol = vol[::-1]
         img = img[::-1]
         dmask = dmask[::-1]
 
-    c0 = jnp.where(dmask[0], vol[0], 0.0)
-    init = (
-        jnp.where(dmask[0], c0, _MAX_ERROR),  # Lr at previous pixel (masked +inf)
-        jnp.zeros(img.shape[1:], vol.dtype),  # lastBestCr starts 0 for step 1? see below
-        img[0],  # last intensity
-        dmask[0],
-    )
+    if carry_in is None:
+        c0 = jnp.where(dmask[0], vol[0], 0.0)
+        init = (
+            jnp.where(dmask[0], c0, _MAX_ERROR),  # Lr at previous pixel
+            jnp.zeros(img.shape[1:], vol.dtype),  # lastBestCr starts 0, see below
+            img[0],  # last intensity
+            dmask[0],
+        )
 
     # Reference semantics: lastBestCr entering step r is min_d Cr(step r-1);
     # for the first step the path cost IS C(p,d) and lastBest = min over the
@@ -83,10 +90,15 @@ def _scan_direction(vol, img, dmask, P1, P2, reverse: bool):
         out = jnp.where(mask, cr, 0.0)
         return (cr, best, c, mask), out
 
-    (_, _, _, _), lr = jax.lax.scan(step, init, (img[1:], vol[1:], dmask[1:]))
-    lr = jnp.concatenate([c0[None], lr], axis=0)
+    if carry_in is None:
+        final, lr = jax.lax.scan(step, init, (img[1:], vol[1:], dmask[1:]))
+        lr = jnp.concatenate([c0[None], lr], axis=0)
+    else:
+        final, lr = jax.lax.scan(step, carry_in, (img, vol, dmask))
     if reverse:
         lr = lr[::-1]
+    if return_carry:
+        return lr, final
     return lr
 
 

@@ -37,6 +37,23 @@ class TestShardedStereo:
         np.testing.assert_array_equal(got, want)
 
 
+class TestShardedSgm:
+    def test_wavefront_matches_single_device(self, mesh, rng):
+        from kangaroo_tpu.stereo import sgm as sx
+
+        D, H, W = 8, 32, 16
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        want = np.asarray(sx.semi_global_matching(vol, img, 0.03, 0.1))
+        got = np.asarray(
+            sharding.sharded_semi_global_matching(vol, img, 0.03, 0.1, mesh)
+        )
+        d = np.arange(D)[:, None, None]
+        x = np.arange(W)[None, None, :]
+        m = np.broadcast_to(d <= x, (D, H, W))
+        np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-5)
+
+
 class TestShardedFusion:
     def _setup(self):
         W, H = 48, 36
