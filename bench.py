@@ -59,7 +59,7 @@ def bench_census_wta(iters=10):
     return 1.0 / _timeit(f, left, right, iters=iters)
 
 
-def bench_filters(iters=10):
+def bench_filters(iters=40):
     import jax.numpy as jnp
 
     from kangaroo_tpu.ops import bilateral, blur
@@ -71,7 +71,7 @@ def bench_filters(iters=10):
     return 1e3 * _timeit(g, img, iters=iters), 1e3 * _timeit(b, img, iters=iters)
 
 
-def bench_variational(iters=4):
+def bench_variational(iters=20):
     import jax.numpy as jnp
 
     from kangaroo_tpu.variational import rof, tgv
