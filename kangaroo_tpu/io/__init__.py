@@ -1,2 +1,2 @@
 """Host-side IO: PXM images/volumes (reference parity), TSDF dumps."""
-from . import pxm
+from . import frame_loader, pxm

@@ -1,2 +1,2 @@
 """Utilities: device timing."""
-from . import timing
+from . import profiling, timing
