@@ -23,6 +23,12 @@ def main():
     ap.add_argument("--width", type=int, default=160)
     ap.add_argument("--height", type=int, default=120)
     ap.add_argument("--levels", type=int, default=2)
+    ap.add_argument("--input", type=str, default=None,
+                    help="directory of PGM depth frames (millimetres, sorted "
+                         "by name) streamed via the native frame loader; "
+                         "default: synthetic orbit sequence")
+    ap.add_argument("--depth-scale", type=float, default=1e-3,
+                    help="raw depth -> metres (1/1000 for Kinect mm files)")
     args = ap.parse_args()
 
     import kangaroo_tpu as kt
@@ -34,24 +40,36 @@ def main():
     cfg = kf.KinectFusionConfig(
         w=args.width, h=args.height, vol_res=args.volres, vol_extent=1.2,
         max_levels=args.levels, its=(2,) * args.levels, near=0.5, far=6.0,
-        max_rmse=0.3,
+        max_rmse=0.3, front_volume=bool(args.input),
     )
     pipe = kf.KinectFusion(K, cfg)
-    scene = synthetic.sphere_scene(res=128)
 
-    errs = []
-    for i, (T_wc, depth) in enumerate(
-        synthetic.depth_sequence(args.frames, K, args.width, args.height,
-                                 scene=scene, step=0.02)
-    ):
-        depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
-        if i == 0:
-            pipe.T_wl = T_wc
-        est = pipe.process_frame(depth)
-        err = float(jnp.abs(est - T_wc).max())
-        errs.append(err)
-        print(f"frame {i}: rmse {pipe.rmse:.4f} tracking_good={pipe.tracking_good} "
-              f"pose err {err:.4f}")
+    errs = [0.0]
+    if args.input:
+        import glob
+
+        from kangaroo_tpu.io.frame_loader import FrameLoader
+
+        paths = sorted(glob.glob(os.path.join(args.input, "*.pgm")))[: args.frames]
+        cfg.depth_scale = args.depth_scale
+        for i, raw in FrameLoader(paths, n_threads=1):
+            pipe.process_frame(jnp.asarray(raw))
+            print(f"frame {i}: rmse {pipe.rmse:.4f} "
+                  f"tracking_good={pipe.tracking_good}")
+    else:
+        scene = synthetic.sphere_scene(res=128)
+        for i, (T_wc, depth) in enumerate(
+            synthetic.depth_sequence(args.frames, K, args.width, args.height,
+                                     scene=scene, step=0.02)
+        ):
+            depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
+            if i == 0:
+                pipe.T_wl = T_wc
+            est = pipe.process_frame(depth)
+            err = float(jnp.abs(est - T_wc).max())
+            errs.append(err)
+            print(f"frame {i}: rmse {pipe.rmse:.4f} tracking_good={pipe.tracking_good} "
+                  f"pose err {err:.4f}")
 
     d, n, img = pipe.render()
     _common.save_png(f"{out}/kf_render.png", img)

@@ -37,7 +37,12 @@ class KinectFusionConfig:
     w: int = 640
     h: int = 480
     vol_res: int = 256
-    vol_extent: float = 1.0  # reset_bb spans [-extent, extent]^3
+    vol_extent: float = 1.0  # reset_bb half-extent
+    # True places the volume in front of the initial camera like the
+    # reference's reset_bb = (-r, -r, knear)..(r, r, knear+2r)
+    # (kinectfusion/main.cpp:90-93); False centres it on the origin (the
+    # synthetic-orbit convention used by the tests).
+    front_volume: bool = False
     max_levels: int = 4
     its: tuple = (1, 0, 2, 3)  # ICP iterations per level, fine -> coarse
     bilateral_size: int = 3  # ui.size
@@ -147,7 +152,11 @@ class KinectFusion:
     def __init__(self, K: Intrinsics, cfg: KinectFusionConfig = KinectFusionConfig()):
         self.K = K
         self.cfg = cfg
-        bb = BoundingBox.create((-cfg.vol_extent,) * 3, (cfg.vol_extent,) * 3)
+        if cfg.front_volume:
+            e = cfg.vol_extent
+            bb = BoundingBox.create((-e, -e, cfg.near), (e, e, cfg.near + 2 * e))
+        else:
+            bb = BoundingBox.create((-cfg.vol_extent,) * 3, (cfg.vol_extent,) * 3)
         self.vol = TsdfVolume.create(cfg.vol_res, cfg.vol_res, cfg.vol_res, bb,
                                      trunc_dist=jnp.nan)  # SdfReset(NaN), main.cpp:224
         self.color_vol = None
