@@ -27,6 +27,9 @@ class SgmConfig:
     do_horiz: bool = True
     do_vert: bool = True
     do_reverse: bool = True
+    # 8-path aggregation (adds the four diagonals; the reference stops at 4 —
+    # SURVEY.md §7.4's "keep a flag for 8")
+    do_diagonal: bool = False
     lr_check: bool = True
     max_disp_diff: float = 1.0
     median_its: int = 1
@@ -50,7 +53,8 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
 
     vol_l = census_mod.census_cost_volume(cl, cr, cfg.max_disp, -1, bits)
     agg_l = fast.semi_global_matching(
-        vol_l, left_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert, cfg.do_reverse
+        vol_l, left_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert,
+        cfg.do_reverse, cfg.do_diagonal,
     )
     if cfg.subpix:
         disp_l = fast.cost_vol_minimum_subpix(agg_l, -1)
@@ -69,7 +73,7 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
             vol_r = census_mod.census_cost_volume(cr, cl, cfg.max_disp, 1, bits)
             agg_r = fast.semi_global_matching(
                 vol_r, right_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert,
-                cfg.do_reverse, sd=1,
+                cfg.do_reverse, cfg.do_diagonal, sd=1,
             )
         if cfg.subpix:
             disp_r = fast.cost_vol_minimum_subpix(agg_r, 1)

@@ -102,8 +102,55 @@ def _scan_direction(vol, img, dmask, P1, P2, reverse: bool, carry_in=None,
     return lr
 
 
+def _scan_diagonal(vol, img, dmask, P1, P2, dx: int):
+    """Diagonal path aggregation: scan rows top-to-bottom with the carry
+    shifted ``dx`` columns per row, so pixel (x, y) continues the path from
+    (x-dx, y-1). Columns whose predecessor falls outside the image become
+    fresh path starts mid-scan (Lr = C, best = 0 — the same start semantics
+    as the straight paths). Callers flip arrays for the other three
+    diagonals. vol is (L, N, D)."""
+    L, N, D = vol.shape
+
+    def shift1(a, fill):
+        rolled = jnp.roll(a, dx, axis=0)
+        idx = jnp.arange(N)
+        edge = (idx - dx < 0) | (idx - dx >= N)
+        if a.ndim > 1:
+            edge = edge[:, None]
+        return jnp.where(edge, fill, rolled)
+
+    init = (
+        jnp.full((N, D), _MAX_ERROR, vol.dtype),  # prev Lr
+        jnp.zeros((N,), vol.dtype),  # lastBest
+        jnp.zeros((N,), vol.dtype),  # last intensity
+        jnp.zeros((N,), bool),  # has predecessor
+    )
+
+    def step(carry, inputs):
+        prev, best, last_c, has_prev = carry
+        c, cost, mask = inputs
+        prev_s = shift1(prev, _MAX_ERROR)
+        best_s = shift1(best, 0.0)
+        last_c_s = shift1(last_c, 0.0)
+        has_s = shift1(has_prev, False)
+
+        p2 = P2 / (1.0 + jnp.abs(last_c_s - c))
+        cm = jnp.minimum(_shift_min(prev_s, P1), best_s[..., None] + p2[..., None])
+        cr_cont = cm + cost - best_s[..., None]
+        cr_seed = cost
+        cr = jnp.where(has_s[..., None], cr_cont, cr_seed)
+        cr = jnp.where(mask, cr, _MAX_ERROR)
+        best_new = jnp.where(has_s, jnp.min(cr, axis=-1), 0.0)
+        out = jnp.where(mask, cr, 0.0)
+        return (cr, best_new, c, jnp.ones((N,), bool)), out
+
+    _, lr = jax.lax.scan(step, init, (img, vol, dmask))
+    return lr
+
+
 @functools.partial(
-    jax.jit, static_argnames=("do_horiz", "do_vert", "do_reverse", "sd")
+    jax.jit,
+    static_argnames=("do_horiz", "do_vert", "do_reverse", "do_diagonal", "sd"),
 )
 def semi_global_matching(
     vol,
@@ -113,6 +160,7 @@ def semi_global_matching(
     do_horiz: bool = True,
     do_vert: bool = True,
     do_reverse: bool = True,
+    do_diagonal: bool = False,
     sd: int = -1,
 ):
     """4-path SGM aggregation of cost volume vol (D, H, W) guided by image
@@ -144,4 +192,23 @@ def semi_global_matching(
         out = out + jnp.swapaxes(_scan_direction(vt, it, mt, P1, P2, False), 0, 1)
         if do_reverse:
             out = out + jnp.swapaxes(_scan_direction(vt, it, mt, P1, P2, True), 0, 1)
+    if do_diagonal:
+        # the reference stops at 4 paths (no diagonal kernels); this is the
+        # 8-path extension SURVEY.md §7.4 plans for, with the same start
+        # semantics as the straight paths (Hirschmueller 2008)
+        for flip_y in (False, True):
+            for flip_x in (False, True):
+                vv = v[::-1] if flip_y else v
+                ii = img[::-1] if flip_y else img
+                mm = dmask[::-1] if flip_y else dmask
+                if flip_x:
+                    vv = vv[:, ::-1]
+                    ii = ii[:, ::-1]
+                    mm = mm[:, ::-1]
+                lr = _scan_diagonal(vv, ii, mm, P1, P2, dx=1)
+                if flip_x:
+                    lr = lr[:, ::-1]
+                if flip_y:
+                    lr = lr[::-1]
+                out = out + lr
     return jnp.moveaxis(out, -1, 0)

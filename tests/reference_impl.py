@@ -161,19 +161,21 @@ def median_reject_invalid(img, max_bad, rad):
 
 def sgm_aggregate(vol, img, P1, P2, directions):
     """Standard independent-path SGM with the reference's recurrence and
-    per-x disparity clipping. directions: list of (dx, dy)."""
+    per-x disparity clipping. directions: list of (dx, dy), straight or
+    diagonal."""
     D, H, W = vol.shape
     out = np.zeros((D, H, W), np.float32)
     MAX = 1e30
     for dx, dy in directions:
         lr = np.zeros((D, H, W), np.float32)
         # path starts: pixels with no predecessor in (dx, dy)
-        if dx == 0:
-            starts = [(x, 0 if dy > 0 else H - 1) for x in range(W)]
-            pathlen = H
-        else:
-            starts = [(0 if dx > 0 else W - 1, y) for y in range(H)]
-            pathlen = W
+        starts = [
+            (x, y)
+            for y in range(H)
+            for x in range(W)
+            if not (0 <= x - dx < W and 0 <= y - dy < H)
+        ]
+        pathlen = H * W  # walk until out of bounds
         for sx, sy in starts:
             x, y = sx, sy
             maxd = min(D, x + 1)
@@ -187,6 +189,8 @@ def sgm_aggregate(vol, img, P1, P2, directions):
             x += dx
             y += dy
             for _ in range(1, pathlen):
+                if not (0 <= x < W and 0 <= y < H):
+                    break
                 c = img[y, x]
                 p2 = P2 / (1.0 + abs(last_c - c))
                 maxd = min(D, x + 1)

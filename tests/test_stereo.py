@@ -164,6 +164,22 @@ class TestSGM:
             np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-5,
                                        err_msg=f"dirs={dirs}")
 
+    def test_eight_path_matches_golden(self, rng):
+        D, H, W = 6, 8, 10
+        vol = rng.random((D, H, W)).astype(np.float32)
+        img = rng.random((H, W)).astype(np.float32)
+        got = np.asarray(
+            sgm_mod.semi_global_matching(
+                jnp.asarray(vol), jnp.asarray(img), 0.01, 0.02, do_diagonal=True
+            )
+        )
+        dirs = [(0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (-1, 1), (1, -1), (-1, -1)]
+        want = ref.sgm_aggregate(vol, img, 0.01, 0.02, dirs)
+        d_idx = np.arange(D)[:, None, None]
+        x_idx = np.arange(W)[None, None, :]
+        m = np.broadcast_to(d_idx <= x_idx, (D, H, W))
+        np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-5)
+
     def test_sgm_improves_noisy_wta(self, rng):
         # piecewise-constant disparity scene with noisy costs: SGM should
         # produce a smoother, more accurate WTA result
