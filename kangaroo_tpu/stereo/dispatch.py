@@ -21,15 +21,10 @@ def semi_global_matching(vol, img, P1=0.01, P2=0.02, do_horiz=True,
     if backend.use_pallas(_sgm_shapes_ok(vol)):
         from . import sgm_pallas
 
-        out = sgm_pallas.semi_global_matching(
-            vol, img, float(P1), float(P2), do_horiz, do_vert, do_reverse, sd
+        return sgm_pallas.semi_global_matching(
+            vol, img, float(P1), float(P2), do_horiz, do_vert, do_reverse,
+            do_diagonal, sd,
         )
-        if do_diagonal:
-            out = out + _sgm.semi_global_matching(
-                vol, img, P1, P2, do_horiz=False, do_vert=False,
-                do_reverse=False, do_diagonal=True, sd=sd,
-            )
-        return out
     return _sgm.semi_global_matching(vol, img, P1, P2, do_horiz, do_vert,
                                      do_reverse, do_diagonal, sd)
 

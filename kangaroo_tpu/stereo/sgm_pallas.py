@@ -173,11 +173,12 @@ def sgm_aggregate_scan(vol, img, P1=0.01, P2=0.02, do_reverse: bool = True,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("P1", "P2", "do_horiz", "do_vert", "do_reverse", "sd"),
+    static_argnames=("P1", "P2", "do_horiz", "do_vert", "do_reverse",
+                     "do_diagonal", "sd"),
 )
 def semi_global_matching(vol, img, P1=0.01, P2=0.02, do_horiz: bool = True,
                          do_vert: bool = True, do_reverse: bool = True,
-                         sd: int = -1):
+                         do_diagonal: bool = False, sd: int = -1):
     """Drop-in Pallas replacement for sgm.semi_global_matching: vol (D, H, W),
     img (H, W) -> aggregated (D, H, W)."""
     D, H, W = vol.shape
@@ -193,4 +194,117 @@ def semi_global_matching(vol, img, P1=0.01, P2=0.02, do_horiz: bool = True,
         agg = sgm_aggregate_scan(vt, it, P1, P2, do_reverse, mask_mode,
                                  scan_is_x=True, width=W)
         out = out + jnp.swapaxes(agg, 1, 2)
+    if do_diagonal:
+        out = out + sgm_aggregate_diag(v, img, P1, P2, mask_mode, dx=1)
+        out = out + sgm_aggregate_diag(v, img, P1, P2, mask_mode, dx=-1)
     return out
+
+
+def _make_diag_kernel(P1, R, total, width, mask_mode, dx):
+    """Diagonal-path kernel: like _make_kernel but the carry shifts ``dx``
+    lanes per scan step, so pixel (x, row) continues the path from
+    (x - dx, row -+ 1). Lanes whose predecessor falls outside the image (and
+    the whole first row) re-seed: Lr = C, lastBest = 0 — identical start
+    semantics to the straight paths. Covers (dx, +1) in the forward stream
+    and (dx, -1) in the reverse stream."""
+
+    def kernel(vol_f_ref, vol_r_ref, p2f_ref, p2r_ref, out_f_ref, out_r_ref,
+               prev_f, best_f, prev_r, best_r):
+        g = pl.program_id(0)
+        D, N = prev_f.shape
+        dsub = jax.lax.broadcasted_iota(jnp.int32, (D, N), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (D, N), 1)
+        x = jax.lax.broadcasted_iota(jnp.int32, (D, N), 1)
+        static_mask = (dsub <= x) if mask_mode == "left" else (x + dsub < width)
+        pred_in_image = (lane - dx >= 0) & (lane - dx < N)
+
+        def step(c, p2_ref, out_ref, i, prev, best, row_pos):
+            p2 = p2_ref[0, i, :].reshape(1, N)
+            has_prev = (row_pos >= 1) & pred_in_image
+            pv = jnp.where(has_prev, pltpu.roll(prev[:], dx % N, axis=1), _BIG)
+            lastbest = jnp.where(
+                has_prev[0:1, :], pltpu.roll(best[0:1, :], dx % N, axis=1), 0.0
+            )
+            down = jnp.where(dsub == 0, _BIG, pltpu.roll(pv, 1, axis=0))
+            up = jnp.where(dsub == D - 1, _BIG, pltpu.roll(pv, D - 1, axis=0))
+            cm = jnp.minimum(
+                jnp.minimum(pv, jnp.minimum(down, up) + P1), lastbest + p2
+            )
+            cr_cont = cm + c - lastbest
+            cr = jnp.where(has_prev, cr_cont, c)
+            cr = jnp.where(static_mask, cr, _BIG)
+            out_ref[:, i, :] = jnp.where(static_mask, cr, 0.0)
+            prev[:] = cr
+            newbest = jnp.where(
+                has_prev[0:1, :], jnp.min(cr, axis=0, keepdims=True), 0.0
+            )
+            best[:] = jnp.broadcast_to(newbest, best.shape)
+
+        for i in range(R):
+            ri = R - 1 - i
+            step(vol_f_ref[:, i, :], p2f_ref, out_f_ref, i, prev_f, best_f,
+                 g * R + i)
+            step(vol_r_ref[:, ri, :], p2r_ref, out_r_ref, ri, prev_r, best_r,
+                 g * R + i)
+
+    return kernel
+
+
+def _p2_diag(img, P2, dx: int, reverse: bool):
+    """(1, S, N) adaptive P2 for a diagonal path: row j, column x holds
+    P2/(1+|img[j-+1, x-dx] - img[j, x]|)."""
+    f = img.astype(jnp.float32)
+    shift_r = 1 if not reverse else -1
+    pred = jnp.roll(jnp.roll(f, shift_r, axis=0), dx, axis=1)
+    return (P2 / (1.0 + jnp.abs(pred - f)))[None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("P1", "P2", "mask_mode", "dx", "width")
+)
+def sgm_aggregate_diag(vol, img, P1=0.01, P2=0.02, mask_mode: str = "left",
+                       dx: int = 1, width: int | None = None):
+    """Diagonal aggregation along axis 1 of vol (D, S, N): directions (dx, +1)
+    and (dx, -1) in one kernel pass. Returns the summed contribution."""
+    D, S, N = vol.shape
+    R = ROWS_PER_STEP
+    assert S % R == 0
+    if width is None:
+        width = N
+    vol = vol.astype(jnp.float32)
+    p2f = _p2_diag(img, P2, dx, reverse=False)
+    p2r = _p2_diag(img, P2, dx, reverse=True)
+
+    n_blocks = S // R
+    blk = lambda g: (0, g, 0)
+    blk_rev = lambda g: (0, n_blocks - 1 - g, 0)
+
+    kernel = _make_diag_kernel(P1, R, S, width, mask_mode, dx)
+    out_f, out_r = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, R, N), blk_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, N), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, N), blk_rev, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, R, N), blk_rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((D, S, N), jnp.float32),
+            jax.ShapeDtypeStruct((D, S, N), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((D, N), jnp.float32),
+            pltpu.VMEM((8, N), jnp.float32),
+            pltpu.VMEM((D, N), jnp.float32),
+            pltpu.VMEM((8, N), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(vol, vol, p2f, p2r)
+    return out_f + out_r

@@ -43,6 +43,21 @@ class TestSgmPallas:
         m = np.broadcast_to(d <= x, vol.shape)
         np.testing.assert_allclose(a[m], b[m], atol=1e-5)
 
+    def test_eight_path_matches_xla(self, interpret, small_vol):
+        from kangaroo_tpu.stereo import sgm as sx
+        from kangaroo_tpu.stereo import sgm_pallas as sp
+
+        vol, img = small_vol
+        a = np.asarray(sx.semi_global_matching(vol, img, 0.01, 0.02,
+                                               do_diagonal=True))
+        b = np.asarray(sp.semi_global_matching(vol, img, 0.01, 0.02,
+                                               do_diagonal=True))
+        D, H, W = vol.shape
+        d = np.arange(D)[:, None, None]
+        x = np.arange(W)[None, None, :]
+        m = np.broadcast_to(d <= x, vol.shape)
+        np.testing.assert_allclose(a[m], b[m], atol=1e-5)
+
     def test_right_volume_mask(self, interpret, small_vol):
         from kangaroo_tpu.stereo import sgm as sx
         from kangaroo_tpu.stereo import sgm_pallas as sp
