@@ -200,7 +200,13 @@ class KinectFusion:
                                             levels=cfg.its)
             T_lp, rmse = icp_refine(kin_v, ray_v, ray_n, self.K, cfg)
             self.rmse = float(rmse)
-            self.tracking_good = self.rmse < cfg.max_rmse and np.isfinite(self.rmse)
+            if not np.isfinite(self.rmse):
+                # auto-reset on divergence, like the app's
+                # `if (Pushed(reset) || !isfinite(rmse))` (main.cpp:222-233)
+                self.reset()
+                self.tracking_good = False
+                return self.T_wl
+            self.tracking_good = self.rmse < cfg.max_rmse
             if self.tracking_good:
                 self.T_wl = se3.compose(self.T_wl, se3.inverse(T_lp))
 
