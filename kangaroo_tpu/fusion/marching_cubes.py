@@ -201,3 +201,45 @@ def load_ply(path: str):
         verts = np.frombuffer(f.read(nv * 12), "<f4").reshape(nv, 3)
         faces = np.frombuffer(f.read(nf * 13), dtype=[("n", "u1"), ("i", "<i4", 3)])
     return verts, faces["i"]
+
+
+def save_vbo_ply(path: str, points, colors=None) -> None:
+    """Export a point image / vertex grid as a PLY point cloud, optionally
+    coloured (the role of extra/AssimpVboExport.h + SaveGIL). points is
+    (..., 3|4); colors (..., 3) uint8."""
+    pts = np.asarray(points, np.float32).reshape(-1, points.shape[-1])[:, :3]
+    ok = np.isfinite(pts).all(axis=1)
+    pts = pts[ok]
+    cols = None
+    if colors is not None:
+        cols = np.asarray(colors).reshape(-1, colors.shape[-1])[:, :3][ok]
+    with open(path, "wb") as f:
+        hdr = ["ply", "format binary_little_endian 1.0",
+               f"element vertex {len(pts)}",
+               "property float x", "property float y", "property float z"]
+        if cols is not None:
+            hdr += ["property uchar red", "property uchar green",
+                    "property uchar blue"]
+        hdr += ["end_header", ""]
+        f.write("\n".join(hdr).encode())
+        if cols is None:
+            f.write(pts.astype("<f4").tobytes())
+        else:
+            rec = np.empty(len(pts), dtype=[("p", "<f4", 3), ("c", "u1", 3)])
+            rec["p"] = pts
+            rec["c"] = cols
+            f.write(rec.tobytes())
+
+
+def save_meshlab_project(path: str, mesh_files) -> None:
+    """Write a minimal MeshLab project referencing exported meshes
+    (extra/SaveMeshlab.h)."""
+    layers = "\n".join(
+        f'  <MLMesh label="{os.path.basename(m)}" filename="{m}">\n  </MLMesh>'
+        for m in mesh_files
+    )
+    with open(path, "w") as f:
+        f.write(
+            "<!DOCTYPE MeshLabDocument>\n<MeshLabProject>\n <MeshGroup>\n"
+            f"{layers}\n </MeshGroup>\n</MeshLabProject>\n"
+        )

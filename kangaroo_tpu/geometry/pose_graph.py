@@ -111,3 +111,13 @@ def load_poses_from_file(path: str):
             elif vals:
                 raise ValueError(f"unsupported pose line with {len(vals)} values")
     return poses
+
+
+def save_poses_to_file(path: str, poses) -> None:
+    """Write a trajectory as 12-value row-major 3x4 lines — the inverse of
+    :func:`load_poses_from_file` and the exportable form of the reference's
+    GLCameraHistory pose log."""
+    with open(path, "w") as f:
+        for T in poses:
+            vals = np.asarray(T, np.float32).reshape(-1)
+            f.write(" ".join(f"{v:.9g}" for v in vals) + "\n")
