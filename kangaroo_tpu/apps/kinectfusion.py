@@ -183,10 +183,18 @@ class KinectFusion:
         )
 
     def reset(self, T_wl=None):
+        """Reset branch of the main loop (main.cpp:224-233): NaN-reset the
+        TSDF, SdfReset(colorVol) back to 0.5, identity pose."""
         cfg = self.cfg
         self.vol = self.vol.reset(jnp.nan)
+        if self.color_vol is not None:
+            self.color_vol = BoundedVolume.create(
+                cfg.vol_res, cfg.vol_res, cfg.vol_res, self.color_vol.bbox,
+                fill=0.5,
+            )
         self.T_wl = jnp.asarray(se3.identity() if T_wl is None else T_wl)
         self.frame = 0
+        self.tracking_good = True
 
     def process_frame(self, depth_raw, rgb=None, fuse: bool = True,
                       pose_refinement: bool = True):
@@ -201,14 +209,17 @@ class KinectFusion:
             T_lp, rmse = icp_refine(kin_v, ray_v, ray_n, self.K, cfg)
             self.rmse = float(rmse)
             if not np.isfinite(self.rmse):
-                # auto-reset on divergence, like the app's
-                # `if (Pushed(reset) || !isfinite(rmse))` (main.cpp:222-233)
+                # divergence: reset and fall through to fuse the current
+                # frame into the fresh volume, like the app's
+                # `if (Pushed(reset) || !isfinite(rmse))` + "Fuse first
+                # kinect frame in." (main.cpp:222-241). tracking_good stays
+                # True so the fuse below happens and the next frame tracks
+                # against the re-seeded model.
                 self.reset()
-                self.tracking_good = False
-                return self.T_wl
-            self.tracking_good = self.rmse < cfg.max_rmse
-            if self.tracking_good:
-                self.T_wl = se3.compose(self.T_wl, se3.inverse(T_lp))
+            else:
+                self.tracking_good = self.rmse < cfg.max_rmse
+                if self.tracking_good:
+                    self.T_wl = se3.compose(self.T_wl, se3.inverse(T_lp))
 
         if fuse and self.tracking_good:
             T_lw = se3.inverse(self.T_wl)

@@ -37,8 +37,12 @@ class SgmConfig:
     subpix: bool = True
     # derive the right disparity from the LEFT aggregated volume
     # (dispR(x) = argmin_d aggL(d, y, x+d)) instead of building + aggregating
-    # a second volume — ~2x faster, not what the reference does (stereo2
-    # aggregates both volumes); off by default for parity.
+    # a second volume — ~2x faster. Note the reference's SGM loop only ever
+    # aggregates vol[0] (`for(i=0;i<1;++i)`, stereo2/main.cpp:424-428), so
+    # its disp[1] comes from the UNaggregated right volume; we deviate by
+    # aggregating the right volume too (lr_from_left=False) or re-anchoring
+    # the left aggregation (True) — both stricter than the reference. See
+    # docs/PARITY.md.
     lr_from_left: bool = False
 
 
@@ -80,9 +84,18 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
         else:
             disp_r = cv.cost_vol_minimum(agg_r, cfg.max_disp).astype(jnp.float32)
 
+    # median both disparity images before the LR check, like the reference's
+    # `for(di=0; di<(leftrightcheck?2:1); ++di)` loop (stereo2/main.cpp:438-445)
     for _ in range(cfg.median_its):
         disp_l = fast.median_filter_reject_invalid(disp_l, cfg.median_max_bad, rad=2)
+        if cfg.lr_check:
+            disp_r = fast.median_filter_reject_invalid(disp_r, cfg.median_max_bad, rad=2)
     if cfg.lr_check:
+        # both directions, in reference order (stereo2/main.cpp:452-455):
+        # disp_r is masked against disp_l first, so the second check also
+        # rejects left pixels whose right partner just got invalidated.
+        disp_r = fast.left_right_check(disp_r, disp_l, 1, cfg.max_disp_diff,
+                                       max_disp=cfg.max_disp)
         disp_l = fast.left_right_check(disp_l, disp_r, -1, cfg.max_disp_diff,
                                        max_disp=cfg.max_disp)
     return disp_l

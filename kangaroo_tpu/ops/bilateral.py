@@ -42,9 +42,10 @@ def bilateral(img, gs, gr, size: int = 5):
 @functools.partial(jax.jit, static_argnames=("size",))
 def bilateral_above_min(img, gs, gr, size: int, minval):
     """Bilateral filter ignoring samples below minval; pixels whose centre is
-    below minval pass through unchanged (cu_bilateral.cu:59-104 — the depth
-    cleanup used by KinectFusion, kinectfusion/main.cpp:209). NaN centres stay
-    NaN."""
+    below minval come out NaN — the reference skips the whole window and
+    writes sum/sumw = 0/0 (cu_bilateral.cu:71-90), which is how KinectFusion
+    turns too-close sensor readings into invalid depth
+    (kinectfusion/main.cpp:209). NaN centres stay NaN."""
     f = img.astype(jnp.float32)
     H, W = f.shape
     padded = jnp.pad(f, size, mode="edge")
@@ -59,7 +60,7 @@ def bilateral_above_min(img, gs, gr, size: int, minval):
         s = s + w * jnp.where(ok, q, 0.0)
         sw = sw + w
     out = s / sw
-    return jnp.where(f >= minval, out, f)
+    return jnp.where(f >= minval, out, jnp.nan)
 
 
 @functools.partial(jax.jit, static_argnames=("size",))

@@ -215,10 +215,13 @@ def sharded_raycast(vol: TsdfVolume, T_wc, K, w: int, h: int, mesh,
         d_safe = jnp.where(jnp.isfinite(d), d, jnp.inf)
         best = jax.lax.pmin(d_safe, AXIS)
         mine = d_safe == best
-        nrm = jnp.where(mine[..., None], nrm, 0.0)
-        img = jnp.where(mine, img, 0.0)
-        nrm = jax.lax.pmax(nrm, AXIS)
-        img = jax.lax.pmax(img, AXIS)
+        # exactly one winner per pixel: the lowest shard index among the
+        # ties, selected sign-safely with a psum of the masked payload (a
+        # pmax of zeroed losers would clamp negative normal components).
+        win_idx = jax.lax.pmin(jnp.where(mine, shard, nsh), AXIS)
+        winner = mine & (shard == win_idx)
+        nrm = jax.lax.psum(jnp.where(winner[..., None], nrm, 0.0), AXIS)
+        img = jax.lax.psum(jnp.where(winner, img, 0.0), AXIS)
         depth = jnp.where(jnp.isfinite(best), best, jnp.nan)
         return depth, nrm, img
 

@@ -40,8 +40,11 @@ class LSS:
 
     def rmse(self):
         """sqrt(sqErr / obs) — the tracking-quality gate
-        (kinectfusion/main.cpp:316-321)."""
-        return jnp.sqrt(self.sqErr / jnp.maximum(self.obs, 1.0))
+        (kinectfusion/main.cpp:316-321). Deliberately unguarded: obs == 0
+        (zero valid correspondences, i.e. total tracking loss) must yield
+        NaN like the reference's sqrt(0/0), so the app's auto-reset on
+        non-finite rmse fires instead of reporting a perfect 0."""
+        return jnp.sqrt(self.sqErr / self.obs)
 
     def solve(self, damping=0.0):
         """x = JTJ^-1 JTy. The reference does this on host with Eigen

@@ -237,7 +237,9 @@ def bilateral(img, gs, gr, size, minval=None):
                     s += w * q
                     sw += w
             if minval is not None and not (img[y, x] >= minval):
-                out[y, x] = img[y, x]
+                # reference skips the window entirely -> 0/0 = NaN
+                # (cu_bilateral.cu:71-90)
+                out[y, x] = np.nan
             elif sw == 0:
                 out[y, x] = np.nan
             else:

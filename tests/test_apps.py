@@ -109,6 +109,59 @@ class TestKinectFusionApp:
         assert drift < 0.06
         assert float(pipe.vol.weight.max()) > 0
 
+    def test_divergence_resets_and_refuses_current_frame(self):
+        """A frame with zero valid ICP correspondences yields a non-finite
+        rmse (sqrt(0/0)); the app must reset AND fuse the current frame into
+        the fresh volume, like main.cpp:224-241 ('Fuse first kinect frame
+        in.'), resuming tracking immediately instead of dropping frames."""
+        W, H = 48, 36
+        K = kt.Intrinsics.centered(40.0, W, H)
+        cfg = kf.KinectFusionConfig(w=W, h=H, vol_res=32, vol_extent=1.2,
+                                    max_levels=2, its=(1, 1), near=0.5, far=6.0)
+        pipe = kf.KinectFusion(K, cfg)
+        scene = synthetic.sphere_scene(res=48)
+        frames = list(synthetic.depth_sequence(2, K, W, H, scene=scene, step=0.01))
+        T0, d0 = frames[0]
+        pipe.T_wl = T0
+        pipe.process_frame(jnp.where(jnp.isfinite(d0), d0, 0.0))
+        assert float(pipe.vol.weight.max()) > 0
+
+        # all-invalid depth: bilateral minval masks everything -> obs == 0
+        pipe.process_frame(jnp.zeros((H, W)))
+        assert not np.isfinite(pipe.rmse)
+        assert pipe.tracking_good  # reset leaves tracking live
+        # pose reset to identity; the (empty) frame was fused into a fresh
+        # volume, so no stale geometry survives
+        np.testing.assert_array_equal(np.asarray(pipe.T_wl),
+                                      np.asarray(se3.identity()))
+        assert float(pipe.vol.weight.max()) == 0.0
+
+        # the next valid frame re-seeds the model through the same path
+        # (ICP against the empty model is again obs == 0 -> reset + fuse)
+        T1, d1 = frames[1]
+        pipe.T_wl = T1
+        pipe.process_frame(jnp.where(jnp.isfinite(d1), d1, 0.0))
+        assert float(pipe.vol.weight.max()) > 0
+
+    def test_reset_clears_colour_volume(self):
+        W, H = 48, 36
+        K = kt.Intrinsics.centered(40.0, W, H)
+        cfg = kf.KinectFusionConfig(w=W, h=H, vol_res=32, vol_extent=1.2,
+                                    max_levels=1, its=(1,), near=0.5, far=6.0,
+                                    use_colour=True, rgb_focal=40.0)
+        pipe = kf.KinectFusion(K, cfg)
+        scene = synthetic.sphere_scene(res=48)
+        rgb = jnp.full((H, W, 3), 200.0)
+        for T_wc, depth in synthetic.depth_sequence(1, K, W, H, scene=scene):
+            pipe.T_wl = T_wc
+            pipe.process_frame(jnp.where(jnp.isfinite(depth), depth, 0.0),
+                               rgb=rgb, pose_refinement=False)
+        assert (np.asarray(pipe.color_vol.data) != 0.5).any()
+        pipe.reset()
+        # SdfReset(colorVol) refills 0.5 (cu_sdffusion.cu:166-169)
+        np.testing.assert_array_equal(np.asarray(pipe.color_vol.data), 0.5)
+        assert float(pipe.vol.weight.max()) == 0.0
+
     def test_colour_fusion_and_render(self):
         W, H = 48, 36
         K = kt.Intrinsics.centered(40.0, W, H)

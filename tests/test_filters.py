@@ -56,10 +56,10 @@ class TestBilateral:
         img[img < 0.3] = 0.05  # "too close" depth pixels
         got = np.asarray(bf.bilateral_above_min(jnp.asarray(img), 2.0, 0.2, 3, 0.2))
         want = ref.bilateral(img, 2.0, 0.2, 3, minval=0.2)
-        # reference kernel writes filtered value only when center >= minval
+        # below-minval centres come out NaN (0/0), like the reference
         m = img >= 0.2
         np.testing.assert_allclose(got[m], want[m], rtol=1e-4)
-        np.testing.assert_allclose(got[~m], img[~m])
+        assert np.isnan(got[~m]).all()
 
     def test_cross_guide_identity(self, rng):
         img = rng.random((10, 12)).astype(np.float32)

@@ -94,6 +94,13 @@ class TestShardedFusion:
         diff = np.abs(a[both] - b[both])
         assert (diff < 2e-2).mean() > 0.95
         assert np.median(diff) < 1e-3
+        # normals must survive the cross-shard combine sign-intact (a pmax
+        # of zeroed losers would clamp negative components to 0)
+        n1a, n8a = np.asarray(n1), np.asarray(n8)
+        close = both & (np.abs(a - b) < 1e-4)
+        dot = np.sum(n1a[close] * n8a[close], axis=-1)
+        assert (dot > 0.999).mean() > 0.99
+        assert (n8a[close] < -0.1).any(), "negative normal components clamped"
 
     def test_sharded_icp_matches_single(self, mesh):
         W, H = 64, 48  # rows must divide the 8-way mesh

@@ -48,6 +48,13 @@ class TestLSS:
         s = lss.LSS(A, b, jnp.zeros(()), jnp.ones(()))
         np.testing.assert_allclose(np.asarray(s.solve()), [1.0, 2.0], rtol=1e-5)
 
+    def test_rmse_zero_obs_is_nan(self):
+        """obs == 0 (total tracking loss) must report NaN like the
+        reference's sqrt(0/0) (kinectfusion/main.cpp:316), so the app's
+        auto-reset fires instead of seeing a perfect rmse of 0."""
+        s = lss.LSS.zero(6)
+        assert not np.isfinite(float(s.rmse()))
+
 
 def _sphere_scene(res=48):
     bbox = kt.BoundingBox.create((-1.2, -1.2, -1.2), (1.2, 1.2, 1.2))
