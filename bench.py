@@ -2,8 +2,11 @@
 
 Headline (BASELINE.md): 640x480, 64-disparity census SGM stereo with LR-check
 and median filtering, frames/second on one TPU chip, vs the 30 fps north-star
-target. Pass --all for the full benchmark table (blur/bilateral, census+WTA,
-SGM, variational, KinectFusion fuse+raycast) on stderr.
+target. The JSON line also carries a "configs" dict with all five BASELINE.md
+benchmark configs (census+WTA, filters, variational, fuse+raycast, SGM) and
+the result of an on-chip compiled Pallas-vs-XLA parity gate, which fails the
+bench loudly on divergence. Pass --all to mirror the table on stderr,
+--headline-only to skip the non-headline configs.
 
 Timing is device-pure (kangaroo_tpu.utils.timing.time_fn): the op repeats
 inside one jitted fori_loop and the slope between N-rep and 1-rep runs is
@@ -119,23 +122,98 @@ def bench_fusion(iters=4):
     return 1e3 * _timeit(step, vol.val, vol.weight, depth, norm, iters=iters)
 
 
+def pallas_parity_check():
+    """Assert compiled Pallas == XLA on the real chip for the stereo hot
+    kernels (SGM, WTA subpix, median, LR check). The interpret-mode tests
+    (tests/test_pallas_kernels.py) prove the kernel logic; this proves the
+    compiled TPU lowering. Returns "ok", "skipped (not tpu)", or raises."""
+    from kangaroo_tpu import backend
+
+    if not backend.on_tpu():
+        return "skipped (not tpu)"
+
+    import jax.numpy as jnp
+
+    from kangaroo_tpu.stereo import dispatch as fast
+
+    rng = np.random.default_rng(7)
+    D, H, W = 32, 64, 256
+    vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+    img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+    disp = jnp.asarray((rng.random((H, W)) * (D - 1)).astype(np.float32))
+    disp_r = jnp.asarray((rng.random((H, W)) * (D - 1)).astype(np.float32))
+
+    def both(f, *fargs):
+        got = np.asarray(f(*fargs))  # Pallas path (we are on TPU)
+        os.environ["KANGAROO_FORCE_XLA"] = "1"
+        try:
+            want = np.asarray(f(*fargs))
+        finally:
+            del os.environ["KANGAROO_FORCE_XLA"]
+        return got, want
+
+    def close(name, got, want, mask=None, atol=1e-3):
+        if mask is not None:
+            got, want = got[mask], want[mask]
+        both_nan = np.isnan(got) & np.isnan(want)
+        ok = both_nan | (np.abs(got - want) <= atol)
+        if not ok.all():
+            bad = (~ok).sum()
+            raise AssertionError(
+                f"pallas/XLA divergence on TPU in {name}: {bad} elements, "
+                f"max |diff| {np.nanmax(np.abs(got - want)):.3e}"
+            )
+
+    d_ix = np.arange(D)[:, None, None]
+    x_ix = np.arange(W)[None, None, :]
+    valid = np.broadcast_to(d_ix <= x_ix, (D, H, W))
+
+    got, want = both(lambda v, i: fast.semi_global_matching(v, i, 0.03, 0.1), vol, img)
+    close("sgm 4-path", got, want, mask=valid, atol=1e-3)
+    got, want = both(
+        lambda v, i: fast.semi_global_matching(v, i, 0.03, 0.1, do_diagonal=True),
+        vol, img,
+    )
+    close("sgm 8-path", got, want, mask=valid, atol=1e-3)
+    got, want = both(fast.cost_vol_minimum_subpix, vol)
+    close("wta subpix", got, want, atol=1e-3)
+    got, want = both(lambda x: fast.median_filter_reject_invalid(x, 12, rad=2), disp)
+    close("median 5x5", got, want, atol=0)
+    got, want = both(
+        lambda a, b: fast.left_right_check(a, b, -1, 1.0, max_disp=D), disp, disp_r
+    )
+    close("lr check", got, want, atol=0)
+    return "ok"
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--all", action="store_true", help="run every benchmark")
+    ap.add_argument("--all", action="store_true",
+                    help="also print the human-readable table on stderr")
+    ap.add_argument("--headline-only", action="store_true",
+                    help="skip the non-headline configs (faster)")
     ap.add_argument("--iters", type=int, default=10)
     args = ap.parse_args()
 
+    parity = pallas_parity_check()
+    print(f"pallas parity:     {parity}", file=sys.stderr)
+
     fps = bench_sgm(args.iters)
-    if args.all:
-        print(f"census+WTA fps:    {bench_census_wta():8.2f}", file=sys.stderr)
+    configs = {}
+    if not args.headline_only:
+        # all five BASELINE.md configs land in the JSON artifact
+        configs["census_wta_640x480_64disp_fps"] = round(bench_census_wta(), 2)
         g_ms, b_ms = bench_filters()
-        print(f"gaussian blur ms:  {g_ms:8.3f}", file=sys.stderr)
-        print(f"bilateral ms:      {b_ms:8.3f}", file=sys.stderr)
+        configs["gaussian_blur_rad10_ms"] = round(g_ms, 4)
+        configs["bilateral_rad5_ms"] = round(b_ms, 4)
         r_ms, t_ms = bench_variational()
-        print(f"ROF 100it ms:      {r_ms:8.3f}", file=sys.stderr)
-        print(f"TGV 100it ms:      {t_ms:8.3f}", file=sys.stderr)
-        print(f"fuse+raycast ms:   {bench_fusion():8.3f}", file=sys.stderr)
-        print(f"SGM fps:           {fps:8.2f}", file=sys.stderr)
+        configs["rof_100it_ms"] = round(r_ms, 3)
+        configs["tgv_100it_ms"] = round(t_ms, 3)
+        configs["fuse_raycast_256_vga_ms"] = round(bench_fusion(), 2)
+        configs["sgm_stereo_640x480_64disp_fps"] = round(fps, 2)
+    if args.all:
+        for k, v in configs.items():
+            print(f"{k}: {v}", file=sys.stderr)
 
     print(
         json.dumps(
@@ -144,6 +222,8 @@ def main():
                 "value": round(fps, 2),
                 "unit": "fps",
                 "vs_baseline": round(fps / 30.0, 3),
+                "pallas_parity": parity,
+                "configs": configs,
             }
         )
     )
