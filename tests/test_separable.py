@@ -1,0 +1,150 @@
+"""Gather-free plane-sweep fusion/raycast vs the exact gather-based paths.
+
+The separable implementations (fusion/separable.py) must agree with
+sdf.sdf_fuse (bilinear) and raycast.raycast_sdf up to the documented
+sub-intermediate-pixel resampling tolerance, across translated AND rotated
+poses (the factorization must hold for general SE3, not just axis-aligned).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import kangaroo_tpu as kt
+from kangaroo_tpu.core import se3
+from kangaroo_tpu.fusion import raycast as rc
+from kangaroo_tpu.fusion import sdf as sdf_mod
+from kangaroo_tpu.fusion import separable as sep
+from kangaroo_tpu.geometry import depth as depth_mod
+
+
+def _rot(ax, ay, az):
+    def rx(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]])
+
+    def ry(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+
+    def rz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+
+    return rz(az) @ ry(ay) @ rx(ax)
+
+
+def _scene(pose_angles=(0.0, 0.0, 0.0), vol_shape=(48, 40, 44)):
+    W, H = 64, 48
+    K = kt.Intrinsics.centered(55.0, W, H)
+    bbox = kt.BoundingBox.create((-1.2, -1.2, -1.2), (1.2, 1.2, 1.2))
+    Wv, Hv, Dv = vol_shape
+    vol = kt.TsdfVolume.create(Wv, Hv, Dv, bbox, trunc_dist=0.15)
+    Rm = _rot(*pose_angles)
+    T_wc = se3.make(Rm, Rm @ np.array([0.0, 0.0, -3.0]))
+    prev = jnp.full((H, W), jnp.nan)
+    gt, _ = rc.raycast_sphere(prev, T_wc, K, (0.0, 0.0, 0.0), 0.9, W, H)
+    vbo = depth_mod.depth_to_vbo(gt, K)
+    norm = depth_mod.normals_from_vbo(vbo)
+    return K, vol, jnp.asarray(T_wc), gt, norm, W, H
+
+
+POSES = [(0.0, 0.0, 0.0), (0.2, 0.3, 0.0), (-0.15, 0.25, 0.4)]
+
+
+class TestSeparableFuse:
+    @pytest.mark.parametrize("angles", POSES)
+    @pytest.mark.parametrize("warp", ["nearest", "bilinear"])
+    def test_matches_bilinear_fuse(self, angles, warp):
+        K, vol, T_wc, gt, norm, W, H = _scene(angles)
+        T_cw = se3.inverse(T_wc)
+        want = sdf_mod.sdf_fuse(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        got = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1,
+                                     warp=warp)
+        ww = np.asarray(want.weight)
+        gw = np.asarray(got.weight)
+        # bilinear stage-1 double-spreads validity: strictly conservative
+        # (skips boundary voxels, almost never adds). The default nearest
+        # stage-1 matches the reference's single bilinear spread (better
+        # coverage) at half-pixel value jitter near depth edges.
+        if warp == "bilinear":
+            assert (gw > 0).sum() > 0.75 * (ww > 0).sum()
+            assert ((gw > 0) & ~(ww > 0)).sum() < 0.01 * (ww > 0).sum()
+            med_tol, max_tol = 2e-3, 0.15 * 0.2
+        else:
+            assert (gw > 0).sum() > 0.9 * (ww > 0).sum()
+            assert ((gw > 0) & ~(ww > 0)).sum() < 0.06 * (ww > 0).sum()
+            med_tol, max_tol = 5e-3, 0.15 * 0.5
+        both = (ww > 0) & (gw > 0)
+        dv = np.abs(np.asarray(want.val)[both] - np.asarray(got.val)[both])
+        assert np.median(dv) < med_tol
+        assert dv.max() < max_tol
+        dw = np.abs(ww[both] - gw[both])
+        assert np.median(dw) < 2e-2
+
+    def test_empty_frame_fuses_nothing(self):
+        K, vol, T_wc, gt, norm, W, H = _scene()
+        T_cw = se3.inverse(T_wc)
+        nan_depth = jnp.full((H, W), jnp.nan)
+        got = sep.sdf_fuse_separable(vol, nan_depth, norm, T_cw, K, 0.15)
+        assert float(got.weight.max()) == 0.0
+
+    def test_accumulates_weight_over_frames(self):
+        K, vol, T_wc, gt, norm, W, H = _scene()
+        T_cw = se3.inverse(T_wc)
+        v1 = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15)
+        v2 = sep.sdf_fuse_separable(v1, gt, norm, T_cw, K, 0.15)
+        m = np.asarray(v1.weight) > 0
+        np.testing.assert_allclose(
+            np.asarray(v2.weight)[m], 2 * np.asarray(v1.weight)[m], rtol=1e-5
+        )
+        # same observations -> same value
+        np.testing.assert_allclose(
+            np.asarray(v2.val)[m], np.asarray(v1.val)[m], atol=1e-5
+        )
+
+
+class TestSeparableRaycast:
+    @pytest.mark.parametrize("angles", POSES)
+    @pytest.mark.parametrize("normals", ["depth", "gradient"])
+    def test_matches_exact_raycast(self, angles, normals):
+        K, vol, T_wc, gt, norm, W, H = _scene(angles)
+        T_cw = se3.inverse(T_wc)
+        vol1 = sdf_mod.sdf_fuse(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        d1, n1, _ = rc.raycast_sdf(vol1, T_wc, K, W, H, near=0.5, far=8.0,
+                                   trunc_dist=0.15)
+        d2, n2, _ = sep.raycast_sdf_separable(vol1, T_wc, K, W, H, near=0.5,
+                                              far=8.0, trunc_dist=0.15,
+                                              normals=normals)
+        a, b = np.asarray(d1), np.asarray(d2)
+        fa, fb = np.isfinite(a), np.isfinite(b)
+        assert (fa & fb).sum() > 0.8 * fa.sum()
+        both = fa & fb
+        dd = np.abs(a[both] - b[both])
+        voxel = 2.4 / 43
+        assert np.median(dd) < 0.3 * voxel
+        na = np.asarray(n1)[both][:, :3]
+        nb = np.asarray(n2)[both][:, :3]
+        ok = (np.linalg.norm(na, axis=-1) > 0.5) & (np.linalg.norm(nb, axis=-1) > 0.5)
+        dot = np.sum(na[ok] * nb[ok], axis=-1)
+        # depth-difference normals are noisier than volume-gradient ones at
+        # this tiny test resolution (forward differences of a NN-warped
+        # depth map); gradient mode reproduces the reference's normals
+        assert np.median(dot) > (0.98 if normals == "gradient" else 0.9)
+
+    def test_against_analytic_sphere(self):
+        K, vol, T_wc, gt, norm, W, H = _scene((0.2, 0.3, 0.0))
+        T_cw = se3.inverse(T_wc)
+        vol1 = sdf_mod.sdf_fuse(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        d, n, _ = sep.raycast_sdf_separable(vol1, T_wc, K, W, H, near=0.5,
+                                            far=8.0, trunc_dist=0.15)
+        b = np.asarray(d)
+        g = np.asarray(gt)
+        m = np.isfinite(b) & np.isfinite(g)
+        assert m.sum() > 300
+        assert np.median(np.abs(b[m] - g[m])) < 0.01  # < 0.2 voxel
+
+    def test_empty_volume_all_misses(self):
+        K, vol, T_wc, gt, norm, W, H = _scene()
+        d, n, _ = sep.raycast_sdf_separable(vol.reset(jnp.nan), T_wc, K, W, H,
+                                            near=0.5, far=8.0, trunc_dist=0.15)
+        assert not np.isfinite(np.asarray(d)).any()
