@@ -86,18 +86,18 @@ def bench_variational(iters=20):
     return 1e3 * _timeit(r, img, iters=iters), 1e3 * _timeit(t, img, iters=iters)
 
 
-def bench_fusion(iters=4):
+def bench_fusion(iters=8):
     """KinectFusion inner loop: TSDF fuse + raycast, 256^3 volume, 640x480.
 
-    Uses the fast TPU paths (nearest-neighbour packed fuse, guided raycast);
-    both are gather-bound — see docs/PERF.md for the analysis.
+    Uses the gather-free plane-sweep engine (fusion/separable.py) — the
+    per-plane homographies ride the MXU as banded matmuls; see docs/PERF.md.
     """
     import jax.numpy as jnp
 
     import kangaroo_tpu as kt
     from kangaroo_tpu.core import se3
-    from kangaroo_tpu.fusion import raycast as rc
     from kangaroo_tpu.fusion import sdf as sdf_mod
+    from kangaroo_tpu.fusion import separable as sep
     from kangaroo_tpu.geometry import depth as depth_mod
 
     W, H = 640, 480
@@ -113,13 +113,48 @@ def bench_fusion(iters=4):
 
     def step(val, weight, depth, norm):
         v = kt.TsdfVolume(val, weight, bbox)
-        v = sdf_mod.sdf_fuse(v, depth, norm, T_cw, K, 0.03, 1000.0, 0.1,
-                             sample="nearest")
-        d, n, img = rc.raycast_sdf_guided(v, T_wc, K, W, H, near=0.5, far=6.0,
-                                          trunc_dist=0.03)
+        v = sep.sdf_fuse_separable(v, depth, norm, T_cw, K, 0.03, 1000.0, 0.1,
+                                   sweep_axis=0)
+        d, n, img = sep.raycast_sdf_separable(v, T_wc, K, W, H, near=0.5,
+                                              far=6.0, trunc_dist=0.03,
+                                              sweep_axis=0)
         return v.val, v.weight, d
 
     return 1e3 * _timeit(step, vol.val, vol.weight, depth, norm, iters=iters)
+
+
+def bench_kf_frame(iters=8):
+    """Whole KinectFusion frame in ONE jit: bilateral preprocess + pyramid +
+    model raycast + multi-level ICP + gated fuse (apps.kinectfusion.
+    make_frame_step), 256^3 volume, 640x480, its=(1,0,2,3)."""
+    import jax.numpy as jnp
+
+    import kangaroo_tpu as kt
+    from kangaroo_tpu.apps import kinectfusion as kf
+    from kangaroo_tpu.apps import synthetic
+    from kangaroo_tpu.core import se3
+
+    W, H = 640, 480
+    K = kt.Intrinsics.centered(550.0, W, H)
+    cfg = kf.KinectFusionConfig(w=W, h=H, vol_res=256, vol_extent=1.2,
+                                max_levels=4, its=(1, 0, 2, 3),
+                                near=0.5, far=6.0)
+    pipe = kf.KinectFusion(K, cfg)
+    scene = synthetic.sphere_scene(res=128)
+    frames = list(synthetic.depth_sequence(2, K, W, H, scene=scene, step=0.01))
+    T0, d0 = frames[0]
+    pipe.T_wl = jnp.asarray(T0)
+    d0 = jnp.where(jnp.isfinite(d0), d0, 0.0)
+    pipe.process_frame(d0)  # builds + seeds
+    step = pipe._step
+    _, d1 = frames[1]
+    d1 = jnp.where(jnp.isfinite(d1), d1, 0.0)
+
+    def frame(val, weight, T_wl, depth):
+        return step(val, weight, T_wl, depth, jnp.asarray(False))
+
+    return 1e3 * _timeit(frame, pipe.vol.val, pipe.vol.weight, pipe.T_wl, d1,
+                         iters=iters)
 
 
 def pallas_parity_check():
@@ -210,6 +245,7 @@ def main():
         configs["rof_100it_ms"] = round(r_ms, 3)
         configs["tgv_100it_ms"] = round(t_ms, 3)
         configs["fuse_raycast_256_vga_ms"] = round(bench_fusion(), 2)
+        configs["kinectfusion_frame_one_jit_ms"] = round(bench_kf_frame(), 2)
         configs["sgm_stereo_640x480_64disp_fps"] = round(fps, 2)
     if args.all:
         for k, v in configs.items():

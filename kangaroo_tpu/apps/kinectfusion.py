@@ -24,6 +24,7 @@ from ..containers import pyramid as pyr_mod
 from ..core import se3
 from ..fusion import raycast as rc
 from ..fusion import sdf as sdf_mod
+from ..fusion import separable
 from ..geometry import depth as depth_mod
 from ..ops import bilateral as bf
 from ..solvers import icp as icp_mod
@@ -58,10 +59,14 @@ class KinectFusionConfig:
     far: float = 4.0  # kfar
     motion_prior: float = 0.1 / 0.2  # depthSigma/motionSigma (main.cpp:315-318)
     depth_scale: float = 1.0  # 1/1000 for mm inputs
-    # fast=True uses the TPU-optimised paths: nearest-neighbour packed
-    # sampling in the fuse and the coarse-to-fine guided raycast; False
-    # reproduces the reference's bilinear fuse + full sphere trace.
-    fast: bool = True
+    # Compute engine for fuse + raycast:
+    #   "separable" (default): gather-free plane-sweep factorization
+    #     (fusion/separable.py) — fuse+raycast 256^3/VGA in ~12 ms, and the
+    #     whole frame (preprocess+raycast+ICP+fuse) compiles into ONE jit.
+    #   "guided": nearest-neighbour packed fuse + coarse-to-fine raycast
+    #     (round-1 fast paths, staged jits).
+    #   "exact": the reference's bilinear fuse + full sphere trace.
+    engine: str = "separable"
     # colour fusion (use_colour, main.cpp:46,355): blend grey intensity into a
     # colour volume and render from it. rgb_focal mirrors ui.RGB focal length;
     # baseline_m is the depth->rgb camera offset (main.cpp:57,100-102).
@@ -89,12 +94,15 @@ def preprocess_depth(depth_raw, K: Intrinsics, cfg: KinectFusionConfig):
 
 
 def raycast_model(vol: TsdfVolume, T_wl, K: Intrinsics, cfg: KinectFusionConfig,
-                  levels: Optional[list] = None):
+                  levels: Optional[list] = None, trunc: Optional[float] = None):
     """Predicted depth/normal/point pyramids by raycasting the model from the
-    current pose estimate (main.cpp:280-291)."""
-    trunc = cfg.trunc_dist_factor * float(
-        np.linalg.norm(np.asarray(vol.voxel_size_units()))
-    )
+    current pose estimate (main.cpp:280-291). ``trunc`` must be passed when
+    called inside a jit (the default derives it from the volume, which
+    traces)."""
+    if trunc is None:
+        trunc = cfg.trunc_dist_factor * float(
+            np.linalg.norm(np.asarray(vol.voxel_size_units()))
+        )
     out_d, out_v, out_n = [], [], []
     for l in range(cfg.max_levels):
         if levels is not None and cfg.its[l] == 0:
@@ -104,7 +112,11 @@ def raycast_model(vol: TsdfVolume, T_wl, K: Intrinsics, cfg: KinectFusionConfig,
             continue
         Kl = K.level(l)
         w_l, h_l = cfg.w >> l, cfg.h >> l
-        if cfg.fast and w_l % 4 == 0 and h_l % 4 == 0:
+        if cfg.engine == "separable":
+            d, n, _ = separable.raycast_sdf_separable(
+                vol, T_wl, Kl, w_l, h_l, cfg.near, cfg.far, trunc_dist=trunc,
+                shade=False)
+        elif cfg.engine == "guided" and w_l % 4 == 0 and h_l % 4 == 0:
             d, n, _ = rc.raycast_sdf_guided(vol, T_wl, Kl, w_l, h_l, cfg.near,
                                             cfg.far, trunc_dist=trunc, subpix=True)
         else:
@@ -116,18 +128,24 @@ def raycast_model(vol: TsdfVolume, T_wl, K: Intrinsics, cfg: KinectFusionConfig,
     return out_d, out_v, out_n
 
 
-def icp_refine(kin_v, ray_v, ray_n, K: Intrinsics, cfg: KinectFusionConfig):
+def icp_refine(kin_v, ray_v, ray_n, K: Intrinsics, cfg: KinectFusionConfig,
+               K_mats=None):
     """Multi-level projective point-plane ICP (main.cpp:293-336).
 
     Returns (T_lp, rmse, tracking_good): the live-from-previous correction,
-    applied as T_wl <- T_wl * T_lp^-1.
+    applied as T_wl <- T_wl * T_lp^-1. ``K_mats`` (per-level 3x3 arrays)
+    must be passed when called inside a jit.
     """
+    if K_mats is None:
+        K_mats = tuple(
+            np.asarray(K.level(l).matrix()) for l in range(cfg.max_levels)
+        )
     T_lp = jnp.asarray(se3.identity())
     rmse = jnp.zeros(())
     for l in range(cfg.max_levels - 1, -1, -1):
         if cfg.its[l] == 0:
             continue
-        Kl = jnp.asarray(np.asarray(K.level(l).matrix()))
+        Kl = jnp.asarray(K_mats[l])
         for _ in range(cfg.its[l]):
             KT_lp = Kl @ T_lp
             T_pl = se3.inverse(T_lp)
@@ -144,6 +162,46 @@ def icp_refine(kin_v, ray_v, ray_n, K: Intrinsics, cfg: KinectFusionConfig):
             x = jnp.where(jnp.isfinite(x), x, 0.0)
             T_lp = se3.compose(T_lp, se3.exp(x))
     return T_lp, rmse
+
+
+def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
+                    trunc_dist: float):
+    """ONE jitted function for the whole frame (main.cpp:190-360): depth
+    preprocess -> model raycast pyramid -> multi-level ICP -> gated pose
+    update -> TSDF fuse. Requires the separable engine — its fuse/raycast
+    have no big gathers, so XLA compiles the frame without the
+    gather-rematerialisation pathology that made whole-frame jits 2.5x
+    slower with the gather paths (docs/PERF.md).
+
+    Returns step(val, weight, T_wl, depth_raw, first) ->
+    (val', weight', T_wl', rmse). ``first`` skips the pose gate (frame 0 or
+    the re-seed after a reset fuses unconditionally at the current pose).
+    """
+    K_mats = tuple(
+        np.asarray(K.level(l).matrix()) for l in range(cfg.max_levels)
+    )
+
+    @jax.jit
+    def step(val, weight, T_wl, depth_raw, first):
+        _, kin_v, kin_n = preprocess_depth(depth_raw, K, cfg)
+        vol = TsdfVolume(val, weight, bbox)
+        _, ray_v, ray_n = raycast_model(vol, T_wl, K, cfg, levels=cfg.its,
+                                        trunc=trunc_dist)
+        T_lp, rmse = icp_refine(kin_v, ray_v, ray_n, K, cfg, K_mats=K_mats)
+        good = jnp.isfinite(rmse) & (rmse < cfg.max_rmse)
+        T_new = jnp.where(good & ~first,
+                          se3.compose(T_wl, se3.inverse(T_lp)), T_wl)
+        T_lw = se3.inverse(T_new)
+        fused = separable.sdf_fuse_separable(
+            vol, kin_v[0][..., 2], kin_n[0], T_lw, K, trunc_dist,
+            cfg.max_w, cfg.min_cos_theta,
+        )
+        keep = good | first
+        val2 = jnp.where(keep, fused.val, val)
+        w2 = jnp.where(keep, fused.weight, weight)
+        return val2, w2, T_new, rmse
+
+    return step
 
 
 class KinectFusion:
@@ -175,6 +233,7 @@ class KinectFusion:
         self.frame = 0
         self.tracking_good = True
         self.rmse = 0.0
+        self._step = None  # lazily-built one-jit frame step (separable)
 
     @property
     def trunc_dist(self) -> float:
@@ -196,11 +255,38 @@ class KinectFusion:
         self.frame = 0
         self.tracking_good = True
 
+    def _one_jit_frame(self, depth_raw):
+        """Whole-frame path: one compiled computation per frame; only the
+        rmse scalar crosses to the host (for the divergence gate)."""
+        if self._step is None:
+            self._step = make_frame_step(self.K, self.cfg, self.vol.bbox,
+                                         self.trunc_dist)
+        first = jnp.asarray(self.frame == 0)
+        val, w, T_new, rmse = self._step(self.vol.val, self.vol.weight,
+                                         self.T_wl, depth_raw, first)
+        self.rmse = float(rmse) if self.frame > 0 else 0.0
+        if self.frame > 0 and not np.isfinite(self.rmse):
+            # divergence: reset and re-seed from the current frame
+            # (main.cpp:224-241), same recipe as the staged path
+            self.reset()
+            val, w, T_new, _ = self._step(self.vol.val, self.vol.weight,
+                                          self.T_wl, depth_raw,
+                                          jnp.asarray(True))
+        else:
+            self.tracking_good = self.frame == 0 or self.rmse < self.cfg.max_rmse
+        self.vol = TsdfVolume(val, w, self.vol.bbox)
+        self.T_wl = T_new
+        self.frame += 1
+        return self.T_wl
+
     def process_frame(self, depth_raw, rgb=None, fuse: bool = True,
                       pose_refinement: bool = True):
         """One iteration of the main loop (main.cpp:190-360). ``rgb`` (H, W, 3)
         enables colour fusion when the config has use_colour."""
         cfg = self.cfg
+        if (cfg.engine == "separable" and fuse and pose_refinement
+                and rgb is None and not cfg.use_colour):
+            return self._one_jit_frame(depth_raw)
         _, kin_v, kin_n = preprocess_depth(depth_raw, self.K, cfg)
 
         if pose_refinement and self.frame > 0:
@@ -231,11 +317,16 @@ class KinectFusion:
                     self.K, rgb, T_iw, self.K_rgb, self.trunc_dist, cfg.max_w,
                     cfg.min_cos_theta,
                 )
+            elif cfg.engine == "separable":
+                self.vol = separable.sdf_fuse_separable(
+                    self.vol, kin_v[0][..., 2], kin_n[0], T_lw, self.K,
+                    self.trunc_dist, cfg.max_w, cfg.min_cos_theta,
+                )
             else:
                 self.vol = sdf_mod.sdf_fuse(
                     self.vol, kin_v[0][..., 2], kin_n[0], T_lw, self.K,
                     self.trunc_dist, cfg.max_w, cfg.min_cos_theta,
-                    sample="nearest" if cfg.fast else "bilinear",
+                    sample="nearest" if cfg.engine == "guided" else "bilinear",
                 )
         self.frame += 1
         return self.T_wl
@@ -248,7 +339,11 @@ class KinectFusion:
         Kl = self.K.level(level)
         w_l, h_l = cfg.w >> level, cfg.h >> level
         cvol = self.color_vol if (show_colour and cfg.use_colour) else None
-        if cfg.fast and w_l % 4 == 0 and h_l % 4 == 0:
+        if cfg.engine == "separable" and cvol is None:
+            return separable.raycast_sdf_separable(
+                self.vol, T, Kl, w_l, h_l, cfg.near, cfg.far,
+                trunc_dist=self.trunc_dist)
+        if cfg.engine != "exact" and w_l % 4 == 0 and h_l % 4 == 0:
             return rc.raycast_sdf_guided(self.vol, T, Kl, w_l, h_l, cfg.near,
                                          cfg.far, trunc_dist=self.trunc_dist,
                                          color_vol=cvol)

@@ -60,17 +60,37 @@ class SweepGeom(NamedTuple):
     dt: jnp.ndarray       # scalar
 
 
-def _homography_parts(vol: TsdfVolume, T_cw, K):
-    """A, e of the voxel-index -> pixel projection (see module docstring)."""
+# Sweep-axis tables: the volume can sweep along world z (axis 0, the
+# default), y (1) or x (2) — pick the one most parallel to the view so the
+# per-plane homographies stay well-conditioned (a plane parallel to the view
+# direction projects to a line: A goes singular and crossings are missed).
+# order = world axes playing the (i, j, k) roles; perm transposes the
+# (D, H, W) = [z, y, x] volume array into [k, j, i] layout.
+_ORDER = {0: (0, 1, 2), 1: (0, 2, 1), 2: (1, 2, 0)}
+_PERM = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}
+_INV_PERM = {0: (0, 1, 2), 1: (1, 0, 2), 2: (1, 2, 0)}
+
+
+def _world_steps(vol: TsdfVolume):
+    """World units per voxel index along (x, y, z)."""
+    D, Hv, Wv = vol.val.shape
+    n = jnp.array([Wv - 1, Hv - 1, D - 1], jnp.float32)
+    return vol.bbox.size() / n
+
+
+def _homography_parts(vol: TsdfVolume, T_cw, K, order=(0, 1, 2)):
+    """A, e of the voxel-index -> pixel projection (see module docstring).
+    ``order`` = world axes playing the (i, j, k) roles."""
     T_cw = jnp.asarray(T_cw)
     R = T_cw[:, :3]
     t = T_cw[:, 3]
-    step = vol.voxel_size_units()  # (sx, sy, sz) world units per index
+    step = _world_steps(vol)  # (sx, sy, sz) world units per index
     Km = jnp.asarray(K.matrix())
+    oi, oj, ok = order
     A = Km @ jnp.stack(
-        [R[:, 0] * step[0], R[:, 1] * step[1], R @ vol.bbox.lo + t], axis=1
+        [R[:, oi] * step[oi], R[:, oj] * step[oj], R @ vol.bbox.lo + t], axis=1
     )
-    e = Km @ (R[:, 2] * step[2])
+    e = Km @ (R[:, ok] * step[ok])
     return A, e
 
 
@@ -98,15 +118,17 @@ def _image_preimage_range(Ainv, Wi, Hi, axis: int):
 
 
 def make_sweep_geom(vol: TsdfVolume, T_cw, K, Wi: int, Hi: int,
-                    grid_w: int, grid_h: int, from_planes: bool = True) -> SweepGeom:
+                    grid_w: int, grid_h: int, from_planes: bool = True,
+                    order=(0, 1, 2)) -> SweepGeom:
     """Build the factorization + an intermediate grid window that covers the
     useful (s, t) region: the union over planes of S_k(voxel rect), clipped
     to the preimage of the image rect under A (samples outside the image
     are invalid anyway)."""
-    A, e = _homography_parts(vol, T_cw, K)
+    A, e = _homography_parts(vol, T_cw, K, order)
     Ainv = jnp.linalg.inv(A)
     g = Ainv @ e
-    D = vol.d
+    counts = vol.val.shape[::-1]  # voxel counts along world (x, y, z)
+    n_i, n_j, D = counts[order[0]], counts[order[1]], counts[order[2]]
 
     k = jnp.arange(D, dtype=jnp.float32)
     denom, off_s, off_t = _plane_scales(g, k)
@@ -130,14 +152,12 @@ def make_sweep_geom(vol: TsdfVolume, T_cw, K, Wi: int, Hi: int,
         hi = jnp.where(bad, jnp.float32(n_idx - 1.0), hi)
         return lo, hi
 
-    if from_planes:
-        s_lo, s_hi = axis_range(vol.w, off_s, 0)
-        t_lo, t_hi = axis_range(vol.h, off_t, 1)
-    else:
-        # raycast: the grid must cover the image's preimage (every pixel
-        # needs a (s, t) sample), intersected with the volume's footprint
-        s_lo, s_hi = axis_range(vol.w, off_s, 0)
-        t_lo, t_hi = axis_range(vol.h, off_t, 1)
+    # the grid window covers the union of plane footprints clipped to the
+    # image preimage — correct for both fuse (plane samples) and raycast
+    # (pixels outside it miss every plane)
+    del from_planes
+    s_lo, s_hi = axis_range(n_i, off_s, 0)
+    t_lo, t_hi = axis_range(n_j, off_t, 1)
     ds = (s_hi - s_lo) / (grid_w - 1)
     dt = (t_hi - t_lo) / (grid_h - 1)
     return SweepGeom(A, Ainv, e, g, s_lo, ds, t_lo, dt)
@@ -194,25 +214,56 @@ def _blend(old_val, old_w, new_sd, w_new, max_w):
     return val, jnp.minimum(w_tot, max_w)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_w", "grid_h", "warp"))
+def _view_axis_index(T_cw):
+    """Sweep-axis choice: dominant world component of the camera's optical
+    axis (row 2 of R_cw) -> 0 for z-sweep, 1 for y, 2 for x."""
+    view = jnp.abs(jnp.asarray(T_cw)[2, :3])
+    return jnp.argmax(jnp.stack([view[2], view[1], view[0]]))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid_w", "grid_h", "warp", "sweep_axis"))
 def sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
                        max_w=1000.0, mincostheta=0.1,
                        grid_w: int | None = None,
                        grid_h: int | None = None,
-                       warp: str = "nearest") -> TsdfVolume:
+                       warp: str = "nearest",
+                       sweep_axis: int | str = "auto") -> TsdfVolume:
     """SdfFuse (cu_sdffusion.cu:16-61) with zero per-voxel gathers.
 
-    One bilinear warp of the (depth, costheta, valid) image onto the
-    intermediate grid (image-sized: the only gather, ~Wi*Hi samples), then
-    per voxel plane two banded interpolation matmuls on the MXU plus
-    elementwise TSDF math. See the module docstring for the factorization.
+    One warp of the (depth, costheta, valid) image onto the intermediate
+    grid (image-sized: the only gather, ~Wi*Hi samples), then per voxel
+    plane two banded interpolation matmuls on the MXU plus elementwise TSDF
+    math. See the module docstring for the factorization. ``sweep_axis``
+    picks which voxel axis the planes sweep (0=z, 1=y, 2=x); 'auto'
+    selects the axis most parallel to the view at trace time via
+    ``lax.switch`` (a plane parallel to the view projects to a line and
+    its homography degenerates).
     """
+    if sweep_axis == "auto":
+        idx = _view_axis_index(T_cw)
+        return jax.lax.switch(
+            idx,
+            [lambda _, a=a: _sdf_fuse_axis(
+                vol, depth, normals, T_cw, K, trunc_dist, max_w, mincostheta,
+                grid_w, grid_h, warp, a) for a in (0, 1, 2)],
+            None,
+        )
+    return _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
+                          mincostheta, grid_w, grid_h, warp, sweep_axis)
+
+
+def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
+                   mincostheta, grid_w, grid_h, warp, axis: int):
+    order, perm, inv_perm = _ORDER[axis], _PERM[axis], _INV_PERM[axis]
     Hi, Wi = depth.shape
     grid_w = grid_w or Wi
     grid_h = grid_h or Hi
-    D, Hv, Wv = vol.val.shape
+    val_p = vol.val.transpose(perm)
+    wgt_p = vol.weight.transpose(perm)
+    D, Hv, Wv = val_p.shape
 
-    geom = make_sweep_geom(vol, T_cw, K, Wi, Hi, grid_w, grid_h)
+    geom = make_sweep_geom(vol, T_cw, K, Wi, Hi, grid_w, grid_h, order=order)
     s, t = _grid_st(geom, grid_w, grid_h)
     u, v = _grid_uv(geom, s, t)
 
@@ -299,15 +350,18 @@ def sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
         return carry, (val, w_tot)
 
     xs = (
-        vol.val.reshape(D // P, P, Hv, Wv),
-        vol.weight.reshape(D // P, P, Hv, Wv),
+        val_p.reshape(D // P, P, Hv, Wv),
+        wgt_p.reshape(D // P, P, Hv, Wv),
         denom_all.reshape(D // P, P),
         offs_all.reshape(D // P, P),
         offt_all.reshape(D // P, P),
     )
     _, (val, weight) = jax.lax.scan(planes, None, xs)
-    return TsdfVolume(val.reshape(D, Hv, Wv), weight.reshape(D, Hv, Wv),
-                      vol.bbox)
+    return TsdfVolume(
+        val.reshape(D, Hv, Wv).transpose(inv_perm),
+        weight.reshape(D, Hv, Wv).transpose(inv_perm),
+        vol.bbox,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -316,11 +370,14 @@ def sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("w", "h", "grid_w", "grid_h", "shade", "normals"))
+    jax.jit,
+    static_argnames=("w", "h", "grid_w", "grid_h", "shade", "normals",
+                     "sweep_axis"))
 def raycast_sdf_separable(vol: TsdfVolume, T_wc, K, w: int, h: int,
                           near=0.1, far=10.0, trunc_dist=None,
                           grid_w: int | None = None, grid_h: int | None = None,
-                          shade: bool = True, normals: str = "depth"):
+                          shade: bool = True, normals: str = "depth",
+                          sweep_axis: int | str = "auto"):
     """RaycastSdf (cu_raycast.cu:34-113) as a gather-free plane sweep.
 
     Every volume z-plane resamples onto the intermediate (t, s) grid with
@@ -335,21 +392,40 @@ def raycast_sdf_separable(vol: TsdfVolume, T_wc, K, w: int, h: int,
     normals via finite differences of the swept slabs transformed through
     the sweep Jacobian, at ~1.5x the sweep cost.
 
-    Rays nearly parallel to the voxel planes (view axis perpendicular to z)
-    degrade: crossings between widely separated plane intersections can be
-    missed — use fusion.raycast.raycast_sdf[(_guided)] for those poses.
+    ``sweep_axis`` (0=z, 1=y, 2=x, 'auto') selects the plane orientation:
+    rays nearly parallel to the sweep planes miss crossings, so 'auto'
+    picks the axis most parallel to the view via ``lax.switch``.
     Returns (depth, normals(h,w,4), img) like raycast_sdf.
     """
+    if sweep_axis == "auto":
+        T_cw = se3.inverse(jnp.asarray(T_wc))
+        idx = _view_axis_index(T_cw)
+        return jax.lax.switch(
+            idx,
+            [lambda _, a=a: _raycast_axis(
+                vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
+                shade, normals, a) for a in (0, 1, 2)],
+            None,
+        )
+    return _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w,
+                         grid_h, shade, normals, sweep_axis)
+
+
+def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
+                  shade, normals, axis: int):
+    order, perm = _ORDER[axis], _PERM[axis]
     grad_normals = normals == "gradient"
     grid_w = grid_w or w
     grid_h = grid_h or h
-    D, Hv, Wv = vol.val.shape
+    val_p = vol.val.transpose(perm)
+    wgt_p = vol.weight.transpose(perm)
+    D, Hv, Wv = val_p.shape
     T_cw = se3.inverse(jnp.asarray(T_wc))
-    geom = make_sweep_geom(vol, T_cw, K, w, h, grid_w, grid_h,
-                           from_planes=False)
+    geom = make_sweep_geom(vol, T_cw, K, w, h, grid_w, grid_h, order=order)
     A, Ainv, g = geom.A, geom.Ainv, geom.g
     s, t = _grid_st(geom, grid_w, grid_h)
-    voxel = vol.voxel_size_units()
+    steps_w = _world_steps(vol)
+    voxel = (steps_w[order[0]], steps_w[order[1]], steps_w[order[2]])
     if trunc_dist is None:
         trunc_dist = 2.0 * voxel[0]
 
@@ -359,10 +435,10 @@ def raycast_sdf_separable(vol: TsdfVolume, T_wc, K, w: int, h: int,
     ks = jnp.arange(D, dtype=jnp.float32)
     denom_all, offs_all, offt_all = _plane_scales(g, ks)
 
-    val_ok = jnp.isfinite(vol.val) & (vol.weight > 0)
+    val_ok = jnp.isfinite(val_p) & (wgt_p > 0)
     packed = jnp.stack(
-        [jnp.where(val_ok, vol.val, 0.0), val_ok.astype(jnp.float32)], axis=-1
-    )  # (D, Hv, Wv, 2)
+        [jnp.where(val_ok, val_p, 0.0), val_ok.astype(jnp.float32)], axis=-1
+    )  # (D, Hv, Wv, 2) in sweep layout
 
     # ray direction: ascending k moves away from the camera iff qz grows
     # with k: dqz/dk = g2 * h2 (h2 > 0 for forward rays)
@@ -426,9 +502,10 @@ def raycast_sdf_separable(vol: TsdfVolume, T_wc, K, w: int, h: int,
             di_dk = s[None, None, :] * g[2] - g[0]
             dj_dk = t[None, :, None] * g[2] - g[1]
             vol_k = dk_val - vol_i * di_dk - vol_j * dj_dk
-            n_w = jnp.stack(
-                [vol_i / voxel[0], vol_j / voxel[1], vol_k / voxel[2]], axis=-1
-            )
+            # scatter the (i, j, k)-role derivatives back to world (x, y, z)
+            comps = {order[0]: vol_i / voxel[0], order[1]: vol_j / voxel[1],
+                     order[2]: vol_k / voxel[2]}
+            n_w = jnp.stack([comps[0], comps[1], comps[2]], axis=-1)
 
         crossing = in_range & prev_ok & (prev_val > 0) & (val <= 0)
         lam = prev_val / jnp.maximum(prev_val - val, 1e-20)
