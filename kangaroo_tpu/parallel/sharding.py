@@ -315,63 +315,80 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1):
         agg = agg + sgm_mod._scan_direction(vt, it, mt, P1, P2, reverse=True)
         out = out + jnp.swapaxes(agg, 0, 1)
 
-        # ---- vertical wavefronts
-        def wavefront(reverse: bool):
-            res = jnp.zeros_like(v)
-            prev = jnp.full((W, D), 1e30, jnp.float32)
-            best = jnp.zeros((W,), jnp.float32)
-            last_c = jnp.zeros((W,), jnp.float32)
-            vv = v if not reverse else v[::-1]
-            ii = img_blk if not reverse else img_blk[::-1]
-            perm = (
-                [(i, (i + 1) % nsh) for i in range(nsh)]
-                if not reverse
-                else [(i, (i - 1) % nsh) for i in range(nsh)]
+        # ---- vertical wavefronts: column-block pipelined, both directions
+        # overlapped. The vertical recurrence is sequential over ROWS, but
+        # independent per COLUMN — so shards pipeline over column blocks:
+        # shard k processes block (t - k) at step t and passes only that
+        # block's carry downstream. With nb = nsh blocks, both directions
+        # finish in (2*nsh - 1) block-steps instead of 2*nsh full-shard
+        # scans: an ~nsh-fold latency reduction at scale.
+        nb = nsh if W % nsh == 0 else 1   # column blocks
+        Wc = W // nb
+        Hs_ = v.shape[0]
+
+        def init_carry():
+            return (
+                jnp.full((Wc, D), 1e30, jnp.float32),
+                jnp.zeros((Wc,), jnp.float32),
+                jnp.zeros((Wc,), jnp.float32),
             )
-            for k in range(nsh):
-                active_id = k if not reverse else nsh - 1 - k
 
-                def run_seed(_):
-                    lr, fin = sgm_mod._scan_direction(
-                        vv, ii, dmask, P1, P2, reverse=False, return_carry=True
-                    )
-                    return lr, fin[0], fin[1], fin[2]
+        def pipe_step(res, carry, vv, ii, mm, b, seed_shard):
+            active = (b >= 0) & (b < nb)
+            col0 = jnp.clip(b, 0, nb - 1) * Wc
+            blk_v = jax.lax.dynamic_slice(vv, (0, col0, 0), (Hs_, Wc, D))
+            blk_i = jax.lax.dynamic_slice(ii, (0, col0), (Hs_, Wc))
+            blk_m = jax.lax.dynamic_slice(mm, (0, col0, 0), (Hs_, Wc, D))
+            mask_row = blk_m[0]  # d<=x masks are row-independent
 
-                def run_carry(args):
-                    p, b, lc = args
-                    lr, fin = sgm_mod._scan_direction(
-                        vv, ii, dmask, P1, P2, reverse=False,
-                        carry_in=(p, b, lc, dmask_row), return_carry=True,
-                    )
-                    return lr, fin[0], fin[1], fin[2]
+            def seed(c):
+                lr, fin = sgm_mod._scan_direction(
+                    blk_v, blk_i, blk_m, P1, P2, reverse=False,
+                    return_carry=True)
+                return lr, (fin[0], fin[1], fin[2])
 
-                def passthrough(args):
-                    p, b, lc = args
-                    return jnp.zeros_like(v), p, b, lc
+            def cont(c):
+                lr, fin = sgm_mod._scan_direction(
+                    blk_v, blk_i, blk_m, P1, P2, reverse=False,
+                    carry_in=(c[0], c[1], c[2], mask_row), return_carry=True)
+                return lr, (fin[0], fin[1], fin[2])
 
-                if k == 0:
-                    lr, prev, best, last_c = jax.lax.cond(
-                        idx == active_id,
-                        lambda a: run_seed(a),
-                        passthrough,
-                        (prev, best, last_c),
-                    )
-                else:
-                    lr, prev, best, last_c = jax.lax.cond(
-                        idx == active_id,
-                        run_carry,
-                        passthrough,
-                        (prev, best, last_c),
-                    )
-                res = res + lr
-                if k < nsh - 1:
-                    prev = jax.lax.ppermute(prev, AXIS, perm)
-                    best = jax.lax.ppermute(best, AXIS, perm)
-                    last_c = jax.lax.ppermute(last_c, AXIS, perm)
-            return res if not reverse else res[::-1]
+            def skip(c):
+                return jnp.zeros((Hs_, Wc, D), v.dtype), c
 
-        out = out + wavefront(False)
-        out = out + wavefront(True)
+            lr, new_c = jax.lax.cond(
+                active,
+                lambda c: jax.lax.cond(seed_shard, seed, cont, c),
+                skip,
+                carry,
+            )
+            old_blk = jax.lax.dynamic_slice(res, (0, col0, 0), (Hs_, Wc, D))
+            res = jax.lax.dynamic_update_slice(
+                res, jnp.where(active, lr, old_blk), (0, col0, 0))
+            return res, new_c
+
+        vvr, iir, mmr = v[::-1], img_blk[::-1], dmask[::-1]
+        permf = [(i, (i + 1) % nsh) for i in range(nsh)]
+        permr = [(i, (i - 1) % nsh) for i in range(nsh)]
+        steps = nsh + nb - 1
+
+        def loop_body(t, state):
+            res_f, res_r, cf, cr = state
+            res_f, cf = pipe_step(res_f, cf, v, img_blk, dmask,
+                                  t - idx, idx == 0)
+            res_r, cr = pipe_step(res_r, cr, vvr, iir, mmr,
+                                  t - (nsh - 1 - idx), idx == nsh - 1)
+            # the post-final-step permute is dead data, but keeps the loop
+            # body uniform so it traces/compiles once
+            cf = tuple(jax.lax.ppermute(x, AXIS, permf) for x in cf)
+            cr = tuple(jax.lax.ppermute(x, AXIS, permr) for x in cr)
+            return res_f, res_r, cf, cr
+
+        res_f, res_r, _, _ = jax.lax.fori_loop(
+            0, steps, loop_body,
+            (jnp.zeros_like(v), jnp.zeros_like(v), init_carry(), init_carry()),
+        )
+        out = out + res_f + res_r[::-1]
         return jnp.moveaxis(out, -1, 0)
 
     f = shard_map(

@@ -175,7 +175,8 @@ def cost_volume_from_stereo_truncated_abs_and_grad(
         oob = (1.0 - alpha) * r1 + alpha * r2
         return jnp.where(ok[None, :], cost, oob)
 
-    return jnp.stack([slice_d(d) for d in range(max_disp)], axis=0)
+    # vmap over the disparity axis: one trace regardless of max_disp
+    return jax.vmap(slice_d)(jnp.arange(max_disp))
 
 
 # --- CostVolElem volumes (running mean accumulators) ------------------------
@@ -225,8 +226,10 @@ def cost_volume_from_stereo(img_l, img_r, max_disp: int, sd: int = -1, rad: int 
         ok = in_l & okx[None, :]
         return jnp.where(ok, acc, 0.0), ok.astype(jnp.float32)
 
-    sums, ns = zip(*[zm_patch_sad(d) for d in range(max_disp)])
-    return jnp.stack(ns, 0), jnp.stack(sums, 0)
+    # vmap over the disparity axis: the (2*rad+1)^2 patch taps trace ONCE
+    # instead of max_disp times (rad=3, D=64 used to take minutes to trace)
+    sums, ns = jax.vmap(zm_patch_sad)(jnp.arange(max_disp))
+    return ns, sums
 
 
 def cost_elem_to_float(n, s):
