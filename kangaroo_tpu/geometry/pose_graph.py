@@ -11,6 +11,7 @@ solve thread becomes an explicit `optimize` call).
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import List, Optional, Tuple
 
 import jax
@@ -30,6 +31,12 @@ class PoseGraph:
     edges: List[Tuple[int, int, np.ndarray]] = dataclasses.field(default_factory=list)
     # (i, T_wi_measured): unary priors (Vicon-style)
     priors: List[Tuple[int, np.ndarray]] = dataclasses.field(default_factory=list)
+    # background solve state (PoseGraph::Start/Stop, PoseGraph.h:376-386)
+    _thread: Optional[threading.Thread] = dataclasses.field(
+        default=None, repr=False, compare=False)
+    _stop_requested: bool = dataclasses.field(
+        default=False, repr=False, compare=False)
+    running: bool = dataclasses.field(default=False, compare=False)
 
     def add_keyframe(self, T_wk=None) -> int:
         self.poses.append(
@@ -70,6 +77,8 @@ class PoseGraph:
         poses = poses0
         final = 0.0
         for _ in range(iterations):
+            if self._stop_requested:
+                break
             x0 = jnp.zeros(n * 6)
             J = jax.jacfwd(residuals)(x0, poses)
             r = residuals(x0, poses)
@@ -85,6 +94,39 @@ class PoseGraph:
             final = float(jnp.linalg.norm(residuals(jnp.zeros(n * 6), poses)))
         self.poses = [np.asarray(poses[k]) for k in range(n)]
         return final
+
+    # --- background solve (PoseGraph::Start/Stop + Solve thread,
+    #     PoseGraph.h:357-386) -------------------------------------------
+    def start(self, iterations: int = 100, damping: float = 1e-4,
+              fix_first: bool = True) -> None:
+        """Kick off the solve on a background thread, like the reference's
+        Ceres `optThread`. Poses update in place when it finishes; poll
+        `running` or call `stop()`/`join()`."""
+        if self.running:
+            return
+        self._stop_requested = False
+        self.running = True
+
+        def run():
+            try:
+                self.optimize(iterations=iterations, damping=damping,
+                              fix_first=fix_first)
+            finally:
+                self.running = False
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        """Request the background solve to stop after the current iteration
+        (boost::thread::interrupt analogue) and wait for it."""
+        self._stop_requested = True
+        self.join()
+
+    def join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
 
 
 def load_poses_from_file(path: str):
