@@ -1,0 +1,76 @@
+"""Rolling (moving-workspace) TSDF volume.
+
+Capability-equivalent of extra/LocalTileGrid.h (:1-167), the reference's
+sketch of a camera-following tile grid of volumes (the Kintinuous
+moving-volume idea). A pointer-linked tile grid is the wrong shape for XLA;
+the TPU-native equivalent keeps ONE dense volume and rolls it by whole
+voxels when the camera strays from the centre: `jnp.roll` along each axis,
+invalidate the vacated slabs, translate the bbox. All elementwise — no
+gathers — and compatible with the z-sharded layout (rolls lower to
+collective-permutes across shards).
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..containers.bbox import BoundingBox
+from ..containers.volume import TsdfVolume
+from ..core import se3
+
+
+def roll_volume(vol: TsdfVolume, shift_xyz, reset_val=jnp.nan) -> TsdfVolume:
+    """Shift the volume ``shift_xyz`` voxels along world (x, y, z): geometry
+    stays put in world space (the bbox translates), freshly exposed slabs
+    reset to (reset_val, weight 0)."""
+    sx, sy, sz = [int(s) for s in shift_xyz]
+    val, weight = vol.val, vol.weight
+    D, H, W = val.shape
+    step = np.asarray(vol.voxel_size_units())
+
+    # array layout is [z, y, x]; shifting the WINDOW by +s means content
+    # moves -s inside the array
+    for axis, s, n in ((2, sx, W), (1, sy, H), (0, sz, D)):
+        if s == 0:
+            continue
+        val = jnp.roll(val, -s, axis=axis)
+        weight = jnp.roll(weight, -s, axis=axis)
+        idx = jnp.arange(n)
+        vacated = (idx >= n - s) if s > 0 else (idx < -s)
+        shape = [1, 1, 1]
+        shape[axis] = n
+        mask = vacated.reshape(shape)
+        val = jnp.where(mask, reset_val, val)
+        weight = jnp.where(mask, 0.0, weight)
+
+    offset = step * np.array([sx, sy, sz], np.float32)
+    bbox = BoundingBox(vol.bbox.lo + offset, vol.bbox.hi + offset)
+    return TsdfVolume(val, weight, bbox)
+
+
+def recenter_shift(vol: TsdfVolume, T_wc, lead: float = 0.5,
+                   threshold_voxels: int = 8) -> Tuple[int, int, int]:
+    """Whole-voxel shift that re-centres the volume on a point ``lead``
+    metres in front of the camera; zero until the drift exceeds
+    ``threshold_voxels`` on an axis (hysteresis, so tracking noise does not
+    thrash the volume). Host-side helper: returns plain ints."""
+    T = np.asarray(T_wc)
+    target = T[:, 3] + T[:, 2] * lead  # camera centre + lead * view dir
+    centre = np.asarray((vol.bbox.lo + vol.bbox.hi)) / 2.0
+    step = np.asarray(vol.voxel_size_units())
+    drift = np.round((target - centre) / step).astype(int)
+    drift[np.abs(drift) < threshold_voxels] = 0
+    return int(drift[0]), int(drift[1]), int(drift[2])
+
+
+def follow_camera(vol: TsdfVolume, T_wc, lead: float = 0.5,
+                  threshold_voxels: int = 8,
+                  reset_val=jnp.nan) -> TsdfVolume:
+    """Keep the working volume around the camera (the LocalTileGrid role):
+    compute the recentring shift and roll if needed."""
+    shift = recenter_shift(vol, T_wc, lead, threshold_voxels)
+    if shift == (0, 0, 0):
+        return vol
+    return roll_volume(vol, shift, reset_val)
