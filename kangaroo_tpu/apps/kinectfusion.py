@@ -312,11 +312,18 @@ class KinectFusion:
             if cfg.use_colour and rgb is not None:
                 # T_iw = T_cd * T_wl^-1 (main.cpp:355)
                 T_iw = se3.compose(self.T_cd, T_lw)
-                self.vol, self.color_vol = sdf_mod.sdf_fuse_color(
-                    self.vol, self.color_vol, kin_v[0][..., 2], kin_n[0], T_lw,
-                    self.K, rgb, T_iw, self.K_rgb, self.trunc_dist, cfg.max_w,
-                    cfg.min_cos_theta,
-                )
+                if cfg.engine == "separable":
+                    self.vol, self.color_vol = separable.sdf_fuse_color_separable(
+                        self.vol, self.color_vol, kin_v[0][..., 2], kin_n[0],
+                        T_lw, self.K, rgb, T_iw, self.K_rgb, self.trunc_dist,
+                        cfg.max_w, cfg.min_cos_theta,
+                    )
+                else:
+                    self.vol, self.color_vol = sdf_mod.sdf_fuse_color(
+                        self.vol, self.color_vol, kin_v[0][..., 2], kin_n[0],
+                        T_lw, self.K, rgb, T_iw, self.K_rgb, self.trunc_dist,
+                        cfg.max_w, cfg.min_cos_theta,
+                    )
             elif cfg.engine == "separable":
                 self.vol = separable.sdf_fuse_separable(
                     self.vol, kin_v[0][..., 2], kin_n[0], T_lw, self.K,

@@ -254,13 +254,15 @@ def sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
 
 
 def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
-                   mincostheta, grid_w, grid_h, warp, axis: int):
+                   mincostheta, grid_w, grid_h, warp, axis: int,
+                   color=None, img=None, T_iw=None, K_img=None):
     order, perm, inv_perm = _ORDER[axis], _PERM[axis], _INV_PERM[axis]
     Hi, Wi = depth.shape
     grid_w = grid_w or Wi
     grid_h = grid_h or Hi
     val_p = vol.val.transpose(perm)
     wgt_p = vol.weight.transpose(perm)
+    color_p = color.transpose(perm) if color is not None else None
     D, Hv, Wv = val_p.shape
 
     geom = make_sweep_geom(vol, T_cw, K, Wi, Hi, grid_w, grid_h, order=order)
@@ -301,13 +303,37 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
     ks = jnp.arange(D, dtype=jnp.float32)
     denom_all, offs_all, offt_all = _plane_scales(g, ks)
 
+    # optional colour camera: its OWN factorization over the same planes
+    # (cu_sdffusion.cu:70-138 projects each voxel into a second camera)
+    if color_p is not None:
+        Hc, Wc = img.shape[:2]
+        grey_img = jnp.mean(img.astype(jnp.float32), axis=-1) / 255.0
+        geom2 = make_sweep_geom(vol, T_iw, K_img, Wc, Hc, grid_w, grid_h,
+                                order=order)
+        s2, t2 = _grid_st(geom2, grid_w, grid_h)
+        u2, v2 = _grid_uv(geom2, s2, t2)
+        ok2 = (sampling.in_bounds(grey_img, u2, v2, 0)
+               & jnp.isfinite(u2) & jnp.isfinite(v2))
+        ui2 = jnp.clip(jnp.floor(jnp.where(ok2, u2, 0.0) + 0.5), 0, Wc - 1)
+        vi2 = jnp.clip(jnp.floor(jnp.where(ok2, v2, 0.0) + 0.5), 0, Hc - 1)
+        packed2 = jnp.stack(
+            [grey_img, jnp.ones_like(grey_img)], axis=-1).reshape(-1, 2)
+        G2 = jnp.take(packed2, (vi2 * Wc + ui2).astype(jnp.int32), axis=0)
+        G2 = jnp.where(ok2[..., None], G2, 0.0)
+        G2m = G2.reshape(grid_h, grid_w * 2)
+        A2, g2 = geom2.A, geom2.g
+        denom2_all, offs2_all, offt2_all = _plane_scales(g2, ks)
+    else:
+        G2m = A2 = g2 = None
+        denom2_all = offs2_all = offt2_all = jnp.zeros_like(denom_all)
+
     # batch P planes per scan step: the interpolation matmuls become
     # (P*Hv, gh) @ (gh, gw*3) — MXU-sized instead of per-plane slivers
     P = next(p for p in (8, 4, 2, 1) if D % p == 0)
     Gm = G.reshape(grid_h, grid_w * 3)
 
     def planes(carry, xs):
-        old_val, old_w, denom, off_s, off_t = xs  # (P, ...), (P,)
+        old_val, old_w, old_col, denom, off_s, off_t, dn2, os2, ot2 = xs
         plane_ok = jnp.abs(denom) > 1e-6
         dsafe = jnp.where(plane_ok, denom, 1.0)
         s_of_i = (iv[None, :] + off_s[:, None]) / dsafe[:, None]  # (P, Wv)
@@ -344,24 +370,98 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
             & jnp.isfinite(w)
             & (ct > mincostheta)
         )
+
+        if color_p is not None:
+            p2_ok = jnp.abs(dn2) > 1e-6
+            d2safe = jnp.where(p2_ok, dn2, 1.0)
+            s2_of_i = (iv[None, :] + os2[:, None]) / d2safe[:, None]
+            t2_of_j = (jv[None, :] + ot2[:, None]) / d2safe[:, None]
+            Ck2 = _lerp_matrix_batch((s2_of_i - geom2.s_lo) / geom2.ds, grid_w)
+            Rk2 = _lerp_matrix_batch((t2_of_j - geom2.t_lo) / geom2.dt, grid_h)
+            tmpc = (Rk2.reshape(P * Hv, grid_h) @ G2m).reshape(P, Hv, grid_w, 2)
+            tmpc2 = tmpc.transpose(0, 1, 3, 2).reshape(P, Hv * 2, grid_w)
+            smpc = jnp.einsum("phs,pis->phi", tmpc2, Ck2,
+                              preferred_element_type=jnp.float32)
+            smpc = smpc.reshape(P, Hv, 2, Wv)
+            grey, grey_ok = smpc[:, :, 0], smpc[:, :, 1]
+            Sc = s2_of_i[:, None, :]
+            Tc = t2_of_j[:, :, None]
+            denc = A2[2, 0] * Sc + A2[2, 1] * Tc + A2[2, 2]
+            denc = jnp.where(jnp.abs(denc) < 1e-12, jnp.nan, denc)
+            uc = (A2[0, 0] * Sc + A2[0, 1] * Tc + A2[0, 2]) / denc
+            vc = (A2[1, 0] * Sc + A2[1, 1] * Tc + A2[1, 2]) / denc
+            in_c = sampling.in_bounds(grey_img, uc, vc, 2)
+            update = update & p2_ok[:, None, None] & in_c & (grey_ok > 0.999)
+
         new_sd = jnp.where(update, jnp.clip(sd, -trunc_dist, trunc_dist), 0.0)
         w_new = jnp.where(update, w, 0.0)
         val, w_tot = _blend(old_val, old_w, new_sd, w_new, max_w)
-        return carry, (val, w_tot)
 
+        if color_p is not None:
+            # grey blend over the old weight (cu_sdffusion.cu:116-124)
+            colour = jnp.where(
+                update,
+                (w_new * grey + old_col * old_w)
+                / jnp.maximum(w_new + old_w, 1e-20),
+                old_col,
+            )
+        else:
+            colour = old_col
+        return carry, (val, w_tot, colour)
+
+    col_in = color_p if color_p is not None else jnp.zeros((D, 1, 1), jnp.float32)
     xs = (
         val_p.reshape(D // P, P, Hv, Wv),
         wgt_p.reshape(D // P, P, Hv, Wv),
+        col_in.reshape(D // P, P, *col_in.shape[1:]),
         denom_all.reshape(D // P, P),
         offs_all.reshape(D // P, P),
         offt_all.reshape(D // P, P),
+        denom2_all.reshape(D // P, P),
+        offs2_all.reshape(D // P, P),
+        offt2_all.reshape(D // P, P),
     )
-    _, (val, weight) = jax.lax.scan(planes, None, xs)
-    return TsdfVolume(
+    _, (val, weight, colour) = jax.lax.scan(planes, None, xs)
+    out_vol = TsdfVolume(
         val.reshape(D, Hv, Wv).transpose(inv_perm),
         weight.reshape(D, Hv, Wv).transpose(inv_perm),
         vol.bbox,
     )
+    if color_p is None:
+        return out_vol
+    return out_vol, colour.reshape(D, Hv, Wv).transpose(inv_perm)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("grid_w", "grid_h", "warp", "sweep_axis"))
+def sdf_fuse_color_separable(vol: TsdfVolume, color_vol, depth, normals,
+                             T_cw, K, img, T_iw, K_img, trunc_dist,
+                             max_w=1000.0, mincostheta=0.1,
+                             grid_w: int | None = None,
+                             grid_h: int | None = None,
+                             warp: str = "nearest",
+                             sweep_axis: int | str = "auto"):
+    """Colour-fusing SdfFuse (cu_sdffusion.cu:70-138) on the plane-sweep
+    engine: the colour camera gets its own shear-scale-warp factorization
+    over the same voxel planes, so the grey sample is two more banded
+    matmuls per plane instead of a per-voxel gather. ``color_vol`` is a
+    BoundedVolume of grey in [0,1]; img is (Hc, Wc, 3). Returns
+    (TsdfVolume, BoundedVolume)."""
+    from ..containers.volume import BoundedVolume
+
+    def run(a):
+        out = _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist,
+                             max_w, mincostheta, grid_w, grid_h, warp, a,
+                             color=color_vol.data, img=img, T_iw=T_iw,
+                             K_img=K_img)
+        v, col = out
+        return v, BoundedVolume(col, color_vol.bbox)
+
+    if sweep_axis == "auto":
+        idx = _view_axis_index(T_cw)
+        return jax.lax.switch(
+            idx, [lambda _, a=a: run(a) for a in (0, 1, 2)], None)
+    return run(sweep_axis)
 
 
 # ---------------------------------------------------------------------------

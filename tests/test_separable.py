@@ -81,6 +81,32 @@ class TestSeparableFuse:
         dw = np.abs(ww[both] - gw[both])
         assert np.median(dw) < 2e-2
 
+    def test_colour_fuse_matches_exact(self):
+        K, vol, T_wc, gt, norm, W, H = _scene((0.2, 0.3, 0.0))
+        T_cw = se3.inverse(T_wc)
+        from kangaroo_tpu.containers.volume import BoundedVolume
+
+        cvol = BoundedVolume.create(*vol.val.shape[::-1], vol.bbox, fill=0.5)
+        rgb = jnp.broadcast_to(
+            jnp.linspace(0, 255, W)[None, :, None], (H, W, 3)).astype(jnp.float32)
+        T_iw = se3.compose(
+            jnp.asarray(se3.inverse(se3.make(np.eye(3), [0.05, 0.0, 0.0]))),
+            T_cw)
+        want_v, want_c = sdf_mod.sdf_fuse_color(
+            vol, cvol, gt, norm, T_cw, K, rgb, T_iw, K, 0.15, 1000.0, 0.1)
+        got_v, got_c = sep.sdf_fuse_color_separable(
+            vol, cvol, gt, norm, T_cw, K, rgb, T_iw, K, 0.15, 1000.0, 0.1)
+        ww, gw = np.asarray(want_v.weight), np.asarray(got_v.weight)
+        assert (gw > 0).sum() > 0.85 * (ww > 0).sum()
+        both = (ww > 0) & (gw > 0)
+        dv = np.abs(np.asarray(want_v.val)[both] - np.asarray(got_v.val)[both])
+        assert np.median(dv) < 5e-3
+        wc, gc = np.asarray(want_c.data), np.asarray(got_c.data)
+        dc = np.abs(wc[both] - gc[both])
+        assert np.median(dc) < 0.02
+        # untouched voxels keep the 0.5 reset value
+        np.testing.assert_array_equal(gc[gw == 0], 0.5)
+
     def test_empty_frame_fuses_nothing(self):
         K, vol, T_wc, gt, norm, W, H = _scene()
         T_cw = se3.inverse(T_wc)
