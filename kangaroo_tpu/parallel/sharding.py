@@ -234,6 +234,86 @@ def sharded_raycast(vol: TsdfVolume, T_wc, K, w: int, h: int, mesh,
     return f(vol.val, vol.weight, vol.bbox.lo, vol.bbox.hi)
 
 
+def sharded_sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K,
+                               trunc_dist, max_w, mincostheta, mesh) -> TsdfVolume:
+    """Plane-sweep TSDF fuse (fusion/separable.py) with the voxel z axis
+    sharded: each chip runs the shear-scale-warp sweep over its own slab of
+    planes (its sub-volume bbox makes the factorization self-consistent) —
+    still zero communication, now gather-free and MXU-bound per chip."""
+    from ..fusion import separable as sep
+
+    D = vol.d
+    n = mesh.devices.size
+
+    def local(val, weight, depth, normals, T_cw, lo, hi):
+        shard = jax.lax.axis_index(AXIS)
+        lo_s, hi_s = _slab_bbox_from(lo, hi, D, n, shard)
+        from ..containers.bbox import BoundingBox
+
+        sub = TsdfVolume(val, weight, BoundingBox(lo_s, hi_s))
+        out = sep.sdf_fuse_separable(sub, depth, normals, T_cw, K, trunc_dist,
+                                     max_w, mincostheta, sweep_axis=0)
+        return out.val, out.weight
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS, None, None), P(), P(), P(), P(), P()),
+        out_specs=(P(AXIS, None, None), P(AXIS, None, None)),
+        check_vma=False,
+    )
+    val, weight = f(vol.val, vol.weight, depth, normals, jnp.asarray(T_cw),
+                    vol.bbox.lo, vol.bbox.hi)
+    return TsdfVolume(val, weight, vol.bbox)
+
+
+def sharded_raycast_separable(vol: TsdfVolume, T_wc, K, w: int, h: int, mesh,
+                              near=0.1, far=10.0, trunc_dist=None):
+    """Plane-sweep raycast with the voxel z axis sharded: each chip sweeps
+    its slab (plus a one-plane halo so slab-boundary crossings are owned by
+    the lower shard), and the global first crossing along each ray is the
+    minimum camera depth across shards — one pmin plus a winner-masked psum
+    for the payload. The sweep axis is necessarily z (the sharded axis), so
+    views nearly perpendicular to z keep the single-device auto-axis path."""
+    from ..fusion import separable as sep
+
+    D = vol.d
+    n = mesh.devices.size
+
+    def local(val, weight, lo, hi):
+        shard = jax.lax.axis_index(AXIS)
+        nsh = jax.lax.axis_size(AXIS)
+        perm = [(i, (i - 1) % nsh) for i in range(nsh)]
+        val_next = jax.lax.ppermute(val[:1], AXIS, perm)
+        w_next = jax.lax.ppermute(weight[:1], AXIS, perm)
+        last = shard == nsh - 1
+        val_ext = jnp.concatenate([val, jnp.where(last, val[-1:], val_next)], axis=0)
+        w_ext = jnp.concatenate([weight, jnp.where(last, weight[-1:], w_next)], axis=0)
+        lo_s, hi_s = _slab_bbox_from(lo, hi, D, n, shard, extra=1)
+        from ..containers.bbox import BoundingBox
+
+        sub = TsdfVolume(val_ext, w_ext, BoundingBox(lo_s, hi_s))
+        d, nrm, img = sep.raycast_sdf_separable(
+            sub, T_wc, K, w, h, near=near, far=far, trunc_dist=trunc_dist,
+            sweep_axis=0)
+        d_safe = jnp.where(jnp.isfinite(d), d, jnp.inf)
+        best = jax.lax.pmin(d_safe, AXIS)
+        mine = d_safe == best
+        win_idx = jax.lax.pmin(jnp.where(mine, shard, nsh), AXIS)
+        winner = mine & (shard == win_idx)
+        nrm = jax.lax.psum(jnp.where(winner[..., None], nrm, 0.0), AXIS)
+        img = jax.lax.psum(jnp.where(winner, img, 0.0), AXIS)
+        depth = jnp.where(jnp.isfinite(best), best, jnp.nan)
+        return depth, nrm, img
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS, None, None), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return f(vol.val, vol.weight, vol.bbox.lo, vol.bbox.hi)
+
+
 # --------------------------------------------------------------------------
 # Row-sharded ICP reduction
 # --------------------------------------------------------------------------

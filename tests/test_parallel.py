@@ -102,6 +102,50 @@ class TestShardedFusion:
         assert (dot > 0.999).mean() > 0.99
         assert (n8a[close] < -0.1).any(), "negative normal components clamped"
 
+    def test_sharded_separable_fuse_matches_single(self, mesh):
+        from kangaroo_tpu.fusion import separable as sep
+
+        K, vol, T_wc, gt, norm, W, H = self._setup()
+        T_cw = se3.inverse(T_wc)
+        want = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0,
+                                      0.1, sweep_axis=0)
+        vol_sh = sharding.shard_volume_z(vol, mesh)
+        got = sharding.sharded_sdf_fuse_separable(
+            vol_sh, gt, norm, T_cw, K, 0.15, 1000.0, 0.1, mesh)
+        # each shard builds its own (better-conditioned) intermediate grid,
+        # so agreement is sub-pixel-statistical, not bitwise
+        ww, gw = np.asarray(want.weight), np.asarray(got.weight)
+        assert ((ww > 0) == (gw > 0)).mean() > 0.99
+        both = (ww > 0) & (gw > 0)
+        dv = np.abs(np.asarray(want.val)[both] - np.asarray(got.val)[both])
+        assert np.median(dv) < 2e-3
+        assert dv.max() < 0.05
+
+    def test_sharded_separable_raycast_close_to_single(self, mesh):
+        from kangaroo_tpu.fusion import separable as sep
+
+        K, vol, T_wc, gt, norm, W, H = self._setup()
+        T_cw = se3.inverse(T_wc)
+        vol1 = sdf_mod.sdf_fuse(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        d1, n1, _ = sep.raycast_sdf_separable(vol1, jnp.asarray(T_wc), K, W, H,
+                                              near=0.5, far=8.0,
+                                              trunc_dist=0.15, sweep_axis=0)
+        vol_sh = sharding.shard_volume_z(vol1, mesh)
+        d8, n8, _ = sharding.sharded_raycast_separable(
+            vol_sh, jnp.asarray(T_wc), K, W, H, mesh, near=0.5, far=8.0,
+            trunc_dist=0.15)
+        a, b = np.asarray(d1), np.asarray(d8)
+        both = np.isfinite(a) & np.isfinite(b)
+        assert both.sum() > 0.95 * np.isfinite(a).sum()
+        diff = np.abs(a[both] - b[both])
+        voxel = 2.4 / 47
+        # per-slab grids + sweep restarts differ sub-voxel from the global sweep
+        assert np.median(diff) < 0.2 * voxel
+        assert np.percentile(diff, 95) < 0.5 * voxel
+        n1a, n8a = np.asarray(n1), np.asarray(n8)
+        dot = np.sum(n1a[both][:, :3] * n8a[both][:, :3], axis=-1)
+        assert np.median(dot) > 0.98
+
     def test_sharded_icp_matches_single(self, mesh):
         W, H = 64, 48  # rows must divide the 8-way mesh
         K = kt.Intrinsics.centered(50.0, W, H)
