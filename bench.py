@@ -150,8 +150,10 @@ def bench_kf_frame(iters=8):
     _, d1 = frames[1]
     d1 = jnp.where(jnp.isfinite(d1), d1, 0.0)
 
+    lo, hi = pipe.vol.bbox.lo, pipe.vol.bbox.hi
+
     def frame(val, weight, T_wl, depth):
-        return step(val, weight, T_wl, depth, jnp.asarray(False))
+        return step(val, weight, T_wl, depth, jnp.asarray(False), lo, hi)
 
     return 1e3 * _timeit(frame, pipe.vol.val, pipe.vol.weight, pipe.T_wl, d1,
                          iters=iters)

@@ -67,6 +67,18 @@ class KinectFusionConfig:
     #     (round-1 fast paths, staged jits).
     #   "exact": the reference's bilinear fuse + full sphere trace.
     engine: str = "separable"
+    # one-jit frame: raycast the model ONCE at full resolution and
+    # box-downsample depth for the coarser ICP levels instead of sweeping
+    # per level like the reference (main.cpp:280-291). Off by default: the
+    # full-res sweep dominates either way and per-level is measured
+    # slightly faster at 256^3/VGA (docs/PERF.md).
+    raycast_downsample: bool = False
+    # moving workspace (fusion/rolling.py, the LocalTileGrid role): roll the
+    # volume to follow the camera when it drifts more than
+    # moving_threshold_voxels from centre; 0 disables (fixed volume, like
+    # the reference app)
+    moving_threshold_voxels: int = 0
+    moving_lead_m: float = 0.5
     # colour fusion (use_colour, main.cpp:46,355): blend grey intensity into a
     # colour volume and render from it. rgb_focal mirrors ui.RGB focal length;
     # baseline_m is the depth->rgb camera offset (main.cpp:57,100-102).
@@ -173,20 +185,40 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
     gather-rematerialisation pathology that made whole-frame jits 2.5x
     slower with the gather paths (docs/PERF.md).
 
-    Returns step(val, weight, T_wl, depth_raw, first) ->
+    Returns step(val, weight, T_wl, depth_raw, first, lo, hi) ->
     (val', weight', T_wl', rmse). ``first`` skips the pose gate (frame 0 or
-    the re-seed after a reset fuses unconditionally at the current pose).
+    the re-seed after a reset fuses unconditionally at the current pose);
+    (lo, hi) is the volume bbox (an argument so the moving-workspace roll
+    does not retrigger compilation).
     """
+    del bbox  # bbox now flows through as (lo, hi) arguments
     K_mats = tuple(
         np.asarray(K.level(l).matrix()) for l in range(cfg.max_levels)
     )
 
     @jax.jit
-    def step(val, weight, T_wl, depth_raw, first):
+    def step(val, weight, T_wl, depth_raw, first, lo, hi):
         _, kin_v, kin_n = preprocess_depth(depth_raw, K, cfg)
-        vol = TsdfVolume(val, weight, bbox)
-        _, ray_v, ray_n = raycast_model(vol, T_wl, K, cfg, levels=cfg.its,
-                                        trunc=trunc_dist)
+        vol = TsdfVolume(val, weight, BoundingBox(lo, hi))
+        if cfg.engine == "separable" and cfg.raycast_downsample:
+            # one full-resolution sweep; coarser ICP levels from NaN-aware
+            # box downsampling of the raycast depth
+            d0, _, _ = separable.raycast_sdf_separable(
+                vol, T_wl, K, cfg.w, cfg.h, cfg.near, cfg.far,
+                trunc_dist=trunc_dist, shade=False)
+            d_pyr = pyr_mod.box_reduce_ignore_invalid(d0, cfg.max_levels)
+            ray_v, ray_n = [], []
+            for l in range(cfg.max_levels):
+                if cfg.its[l] == 0:
+                    ray_v.append(None)
+                    ray_n.append(None)
+                    continue
+                vl = depth_mod.depth_to_vbo(d_pyr[l], K.level(l))
+                ray_v.append(vl)
+                ray_n.append(depth_mod.normals_from_vbo(vl))
+        else:
+            _, ray_v, ray_n = raycast_model(vol, T_wl, K, cfg, levels=cfg.its,
+                                            trunc=trunc_dist)
         T_lp, rmse = icp_refine(kin_v, ray_v, ray_n, K, cfg, K_mats=K_mats)
         good = jnp.isfinite(rmse) & (rmse < cfg.max_rmse)
         T_new = jnp.where(good & ~first,
@@ -262,8 +294,9 @@ class KinectFusion:
             self._step = make_frame_step(self.K, self.cfg, self.vol.bbox,
                                          self.trunc_dist)
         first = jnp.asarray(self.frame == 0)
+        lo, hi = self.vol.bbox.lo, self.vol.bbox.hi
         val, w, T_new, rmse = self._step(self.vol.val, self.vol.weight,
-                                         self.T_wl, depth_raw, first)
+                                         self.T_wl, depth_raw, first, lo, hi)
         self.rmse = float(rmse) if self.frame > 0 else 0.0
         if self.frame > 0 and not np.isfinite(self.rmse):
             # divergence: reset and re-seed from the current frame
@@ -271,7 +304,8 @@ class KinectFusion:
             self.reset()
             val, w, T_new, _ = self._step(self.vol.val, self.vol.weight,
                                           self.T_wl, depth_raw,
-                                          jnp.asarray(True))
+                                          jnp.asarray(True),
+                                          self.vol.bbox.lo, self.vol.bbox.hi)
         else:
             self.tracking_good = self.frame == 0 or self.rmse < self.cfg.max_rmse
         self.vol = TsdfVolume(val, w, self.vol.bbox)
@@ -279,11 +313,25 @@ class KinectFusion:
         self.frame += 1
         return self.T_wl
 
+    def _maybe_roll(self):
+        """Moving workspace (LocalTileGrid role): keep the volume around the
+        camera by rolling it whole voxels when the drift exceeds the
+        hysteresis threshold. Opt-in (costs one host sync per frame)."""
+        cfg = self.cfg
+        if cfg.moving_threshold_voxels <= 0 or self.frame == 0:
+            return
+        from ..fusion import rolling
+
+        self.vol = rolling.follow_camera(
+            self.vol, np.asarray(self.T_wl), lead=cfg.moving_lead_m,
+            threshold_voxels=cfg.moving_threshold_voxels)
+
     def process_frame(self, depth_raw, rgb=None, fuse: bool = True,
                       pose_refinement: bool = True):
         """One iteration of the main loop (main.cpp:190-360). ``rgb`` (H, W, 3)
         enables colour fusion when the config has use_colour."""
         cfg = self.cfg
+        self._maybe_roll()
         if (cfg.engine == "separable" and fuse and pose_refinement
                 and rgb is None and not cfg.use_colour):
             return self._one_jit_frame(depth_raw)

@@ -143,6 +143,37 @@ class TestKinectFusionApp:
         pipe.process_frame(jnp.where(jnp.isfinite(d1), d1, 0.0))
         assert float(pipe.vol.weight.max()) > 0
 
+    def test_moving_volume_follows_camera(self):
+        """Opt-in moving workspace: the volume rolls to keep the camera's
+        look-at point centred, preserving overlapping fused geometry."""
+        W, H = 48, 36
+        K = kt.Intrinsics.centered(40.0, W, H)
+        cfg = kf.KinectFusionConfig(w=W, h=H, vol_res=32, vol_extent=1.2,
+                                    max_levels=1, its=(1,), near=0.5,
+                                    far=6.0, moving_threshold_voxels=2,
+                                    moving_lead_m=3.0)
+        pipe = kf.KinectFusion(K, cfg)
+        scene = synthetic.sphere_scene(res=48)
+        for T_wc, depth in synthetic.depth_sequence(1, K, W, H, scene=scene):
+            pipe.T_wl = T_wc
+            pipe.process_frame(jnp.where(jnp.isfinite(depth), depth, 0.0),
+                               pose_refinement=False)
+        w_before = float(pipe.vol.weight.sum())
+        assert w_before > 0
+        lo0 = np.asarray(pipe.vol.bbox.lo).copy()
+        # shift the camera sideways: the look-at target drifts with it and
+        # the next frame's _maybe_roll re-centres the window
+        pipe.T_wl = pipe.T_wl.at[0, 3].add(0.6)
+        pipe._maybe_roll()
+        lo1 = np.asarray(pipe.vol.bbox.lo)
+        assert lo1[0] > lo0[0] + 0.3  # rolled toward +x
+        # overlapping fused geometry survived the roll
+        assert float(pipe.vol.weight.sum()) > 0.2 * w_before
+        # and the world positions of surviving weight are consistent: the
+        # volume still renders
+        d, n, _ = pipe.render(T_wc=pipe.T_wl.at[0, 3].add(-0.6))
+        assert np.isfinite(np.asarray(d)).any()
+
     def test_reset_clears_colour_volume(self):
         W, H = 48, 36
         K = kt.Intrinsics.centered(40.0, W, H)
