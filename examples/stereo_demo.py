@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--maxdisp", type=int, default=32)
     ap.add_argument("--mode", choices=["sgm", "dtam", "wta"], default="sgm")
     ap.add_argument("--baseline", type=float, default=0.1)
+    ap.add_argument("--rig", type=str, default=None,
+                    help="JSON camera-rig file (io/rig.py schema): intrinsics "
+                         "and baseline come from it, like the reference's "
+                         "-cmod camera models (stereo/main.cpp:103-110)")
     args = ap.parse_args()
 
     from kangaroo_tpu import Intrinsics
@@ -52,7 +56,16 @@ def main():
           f"<1px {np.mean(err < 1):.2%}")
     _common.save_png(f"{out}/disp_{args.mode}.png", jnp.where(jnp.isfinite(disp), disp, 0.0))
 
-    K = Intrinsics.centered(args.width * 0.9, args.width, args.height)
+    if args.rig:
+        from kangaroo_tpu.io import rig as rig_mod
+
+        rig = rig_mod.load_rig(args.rig)
+        cam = rig[rig.names()[0]].scaled_to(args.width, args.height)
+        K = cam.intrinsics()
+        args.baseline = rig.baseline()
+        print(f"rig: fu={cam.fu:.1f} baseline={args.baseline:.4f} m")
+    else:
+        K = Intrinsics.centered(args.width * 0.9, args.width, args.height)
     depth, cloud = stereo_app.depth_and_cloud(disp, K, args.baseline, min_disp=1.0)
     _common.save_png(f"{out}/depth_{args.mode}.png", jnp.where(jnp.isfinite(depth), depth, 0.0))
     pts = np.asarray(cloud).reshape(-1, 4)

@@ -107,6 +107,30 @@ class TestSeparableFuse:
         # untouched voxels keep the 0.5 reset value
         np.testing.assert_array_equal(gc[gw == 0], 0.5)
 
+    def test_perpendicular_pose_uses_other_axis(self):
+        """Looking along world x (z-planes edge-on): the auto axis switch
+        must pick the x-sweep and still match the exact fuse."""
+        K, vol, T_wc, gt, norm, W, H = _scene((0.0, 1.45, 0.0))
+        T_cw = se3.inverse(T_wc)
+        want = sdf_mod.sdf_fuse(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        got = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        ww, gw = np.asarray(want.weight), np.asarray(got.weight)
+        assert (ww > 0).sum() > 100
+        assert (gw > 0).sum() > 0.85 * (ww > 0).sum()
+        both = (ww > 0) & (gw > 0)
+        dv = np.abs(np.asarray(want.val)[both] - np.asarray(got.val)[both])
+        assert np.median(dv) < 5e-3
+        # raycast from the same pose must hit and agree
+        vol1 = want
+        d1, _, _ = rc.raycast_sdf(vol1, T_wc, K, W, H, near=0.5, far=8.0,
+                                  trunc_dist=0.15)
+        d2, _, _ = sep.raycast_sdf_separable(vol1, T_wc, K, W, H, near=0.5,
+                                             far=8.0, trunc_dist=0.15)
+        a, b = np.asarray(d1), np.asarray(d2)
+        m = np.isfinite(a) & np.isfinite(b)
+        assert m.sum() > 0.75 * np.isfinite(a).sum()
+        assert np.median(np.abs(a[m] - b[m])) < 0.02
+
     def test_empty_frame_fuses_nothing(self):
         K, vol, T_wc, gt, norm, W, H = _scene()
         T_cw = se3.inverse(T_wc)
