@@ -32,8 +32,11 @@ the DIRECTION of P_c, which is the pixel ray — an image-space quantity.
 Deviations from the reference (documented in docs/PARITY.md): sampling is
 bilinear-on-the-warped-grid instead of bilinear-at-the-exact-projection
 (sub-intermediate-pixel difference); any invalid bilinear tap invalidates
-the sample (the reference's NaN poisoning, made explicit by a validity
-channel); planes through the camera centre (|1 + k g2| ~ 0) are skipped.
+the fuse sample (the reference's NaN poisoning, carried by a -1e6 depth
+sentinel instead of a separate validity channel); raycast reads unobserved
+voxels as +trunc (the reference's SdfReset state) with the volume boundary
+masked analytically; planes through the camera centre (|1 + k g2| ~ 0) are
+skipped.
 """
 from __future__ import annotations
 
@@ -67,6 +70,10 @@ class SweepGeom(NamedTuple):
 # order = world axes playing the (i, j, k) roles; perm transposes the
 # (D, H, W) = [z, y, x] volume array into [k, j, i] layout.
 _ORDER = {0: (0, 1, 2), 1: (0, 2, 1), 2: (1, 2, 0)}
+
+# Depth sentinel for invalid pixels in the fuse warp: large enough that any
+# bilinear tap with weight >= ~1e-4 drives sd below every plausible -trunc.
+_INVALID_DEPTH = -1e6
 _PERM = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}
 _INV_PERM = {0: (0, 1, 2), 1: (1, 0, 2), 2: (1, 2, 0)}
 
@@ -272,11 +279,15 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
     # image-space costheta: dot(n, P_c)/-|P_c| uses only the ray direction
     ray = jnp.asarray(K.unproject_grid(Wi, Hi))
     ct_img = jnp.sum(normals[..., :3] * ray, axis=-1) / -jnp.linalg.norm(ray, axis=-1)
-    valid_img = (jnp.isfinite(depth) & jnp.isfinite(ct_img)).astype(jnp.float32)
+    valid_img = jnp.isfinite(depth) & jnp.isfinite(ct_img)
+    # invalid pixels carry a -BIG depth sentinel instead of a third validity
+    # channel: any invalid bilinear tap drags the sampled depth hugely
+    # negative, so sd = ct*(md - qz) fails the (sd > -trunc) test exactly
+    # where the old (val_frac > 0.999) gate rejected — one less channel
+    # through the per-plane matmuls.
     packed = jnp.stack(
-        [jnp.where(valid_img > 0, depth, 0.0),
-         jnp.where(valid_img > 0, ct_img, 0.0),
-         valid_img],
+        [jnp.where(valid_img, depth, _INVALID_DEPTH),
+         jnp.where(valid_img, ct_img, 0.0)],
         axis=-1,
     )
 
@@ -293,9 +304,10 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
     else:
         ui = jnp.clip(jnp.floor(jnp.where(uv_ok, u, 0.0) + 0.5), 0, Wi - 1)
         vi = jnp.clip(jnp.floor(jnp.where(uv_ok, v, 0.0) + 0.5), 0, Hi - 1)
-        flat = packed.reshape(-1, 3)
+        flat = packed.reshape(-1, 2)
         G = jnp.take(flat, (vi * Wi + ui).astype(jnp.int32), axis=0)
-    G = jnp.where(uv_ok[..., None], G, 0.0)  # (grid_h, grid_w, 3)
+    invalid_px = jnp.array([_INVALID_DEPTH, 0.0], jnp.float32)
+    G = jnp.where(uv_ok[..., None], G, invalid_px)  # (grid_h, grid_w, 2)
 
     A, g = geom.A, geom.g
     iv = jnp.arange(Wv, dtype=jnp.float32)
@@ -328,9 +340,9 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
         denom2_all = offs2_all = offt2_all = jnp.zeros_like(denom_all)
 
     # batch P planes per scan step: the interpolation matmuls become
-    # (P*Hv, gh) @ (gh, gw*3) — MXU-sized instead of per-plane slivers
+    # (P*Hv, gh) @ (gh, gw*2) — MXU-sized instead of per-plane slivers
     P = next(p for p in (8, 4, 2, 1) if D % p == 0)
-    Gm = G.reshape(grid_h, grid_w * 3)
+    Gm = G.reshape(grid_h, grid_w * 2)
 
     def planes(carry, xs):
         old_val, old_w, old_col, denom, off_s, off_t, dn2, os2, ot2 = xs
@@ -338,16 +350,24 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
         dsafe = jnp.where(plane_ok, denom, 1.0)
         s_of_i = (iv[None, :] + off_s[:, None]) / dsafe[:, None]  # (P, Wv)
         t_of_j = (jv[None, :] + off_t[:, None]) / dsafe[:, None]  # (P, Hv)
-        Ck = _lerp_matrix_batch((s_of_i - geom.s_lo) / geom.ds, grid_w)
-        Rk = _lerp_matrix_batch((t_of_j - geom.t_lo) / geom.dt, grid_h)
+        si = (s_of_i - geom.s_lo) / geom.ds
+        tj = (t_of_j - geom.t_lo) / geom.dt
+        Ck = _lerp_matrix_batch(si, grid_w)
+        Rk = _lerp_matrix_batch(tj, grid_h)
+        # voxels whose lerp position falls off the grid window get partial/
+        # zero-weight rows — mask them analytically (this replaces the old
+        # explicit validity-fraction channel)
+        win_ok = ((tj >= 0.0) & (tj <= grid_h - 1.0))[:, :, None] & (
+            (si >= 0.0) & (si <= grid_w - 1.0))[:, None, :]  # (P, Hv, Wv)
         # pass 1: one big matmul over the stacked plane rows
-        tmp = (Rk.reshape(P * Hv, grid_h) @ Gm).reshape(P, Hv, grid_w, 3)
-        # pass 2: batched over planes, channels folded into rows
-        tmp2 = tmp.transpose(0, 1, 3, 2).reshape(P, Hv * 3, grid_w)
-        smp = jnp.einsum("phs,pis->phi", tmp2, Ck,
-                         preferred_element_type=jnp.float32)
-        smp = smp.reshape(P, Hv, 3, Wv)
-        md, ct, val_frac = smp[:, :, 0], smp[:, :, 1], smp[:, :, 2]
+        tmp = (Rk.reshape(P * Hv, grid_h) @ Gm).reshape(P, Hv, grid_w, 2)
+        # pass 2: one batched einsum per channel — transposing channels onto
+        # the contraction rows instead costs 2.5-6x (XLA materialises the
+        # (..., gw, C) -> (..., C, gw) transpose per scan step)
+        md = jnp.einsum("phs,pis->phi", tmp[..., 0], Ck,
+                        preferred_element_type=jnp.float32)
+        ct = jnp.einsum("phs,pis->phi", tmp[..., 1], Ck,
+                        preferred_element_type=jnp.float32)
 
         # elementwise TSDF math (identical to the reference kernel)
         S = s_of_i[:, None, :]                   # (P, 1, Wv)
@@ -364,7 +384,7 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
         update = (
             plane_ok[:, None, None]
             & in_img
-            & (val_frac > 0.999)
+            & win_ok
             & (sd > -trunc_dist)
             & jnp.isfinite(md)
             & jnp.isfinite(w)
@@ -379,11 +399,10 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
             Ck2 = _lerp_matrix_batch((s2_of_i - geom2.s_lo) / geom2.ds, grid_w)
             Rk2 = _lerp_matrix_batch((t2_of_j - geom2.t_lo) / geom2.dt, grid_h)
             tmpc = (Rk2.reshape(P * Hv, grid_h) @ G2m).reshape(P, Hv, grid_w, 2)
-            tmpc2 = tmpc.transpose(0, 1, 3, 2).reshape(P, Hv * 2, grid_w)
-            smpc = jnp.einsum("phs,pis->phi", tmpc2, Ck2,
+            grey = jnp.einsum("phs,pis->phi", tmpc[..., 0], Ck2,
                               preferred_element_type=jnp.float32)
-            smpc = smpc.reshape(P, Hv, 2, Wv)
-            grey, grey_ok = smpc[:, :, 0], smpc[:, :, 1]
+            grey_ok = jnp.einsum("phs,pis->phi", tmpc[..., 1], Ck2,
+                                 preferred_element_type=jnp.float32)
             Sc = s2_of_i[:, None, :]
             Tc = t2_of_j[:, :, None]
             denc = A2[2, 0] * Sc + A2[2, 1] * Tc + A2[2, 2]
@@ -535,10 +554,13 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
     ks = jnp.arange(D, dtype=jnp.float32)
     denom_all, offs_all, offt_all = _plane_scales(g, ks)
 
+    # Unobserved voxels read as +trunc — exactly the reference's SdfReset
+    # state that its trilinear tracer marches through (cu_raycast.cu:66,
+    # cu_sdffusion.cu:144-169) — so no separate validity channel rides the
+    # per-plane matmuls; the volume/grid-window boundary is masked
+    # analytically in the plane loop instead.
     val_ok = jnp.isfinite(val_p) & (wgt_p > 0)
-    packed = jnp.stack(
-        [jnp.where(val_ok, val_p, 0.0), val_ok.astype(jnp.float32)], axis=-1
-    )  # (D, Hv, Wv, 2) in sweep layout
+    packed = jnp.where(val_ok, val_p, trunc_dist)  # (D, Hv, Wv) sweep layout
 
     # ray direction: ascending k moves away from the camera iff qz grows
     # with k: dqz/dk = g2 * h2 (h2 > 0 for forward rays)
@@ -569,21 +591,23 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
     P = next(p for p in (8, 4, 2, 1) if D % p == 0)
 
     def planes(c: Carry, xs):
-        vplanes, denom, off_s, off_t = xs  # (P, Hv, Wv, 2), (P,)
+        vplanes, denom, off_s, off_t = xs  # (P, Hv, Wv), (P,)
         plane_ok = jnp.abs(denom) > 1e-6
         # voxel coords of each grid point on each plane
         i_of_s = s[None, :] * denom[:, None] - off_s[:, None]   # (P, gw)
         j_of_t = t[None, :] * denom[:, None] - off_t[:, None]   # (P, gh)
         Ck = _lerp_matrix_batch(i_of_s, Wv)                     # (P, gw, Wv)
         Rk = _lerp_matrix_batch(j_of_t, Hv)                     # (P, gh, Hv)
-        tmp = jnp.einsum("pgj,pjic->pgic", Rk, vplanes,
+        tmp = jnp.einsum("pgj,pji->pgi", Rk, vplanes,
                          preferred_element_type=jnp.float32)
-        tmp2 = tmp.transpose(0, 1, 3, 2).reshape(P, grid_h * 2, Wv)
-        slab = jnp.einsum("phi,psi->phs", tmp2, Ck,
-                          preferred_element_type=jnp.float32)
-        slab = slab.reshape(P, grid_h, 2, grid_w)
-        val = slab[:, :, 0]                                      # (P, gh, gw)
-        ok = plane_ok[:, None, None] & (slab[:, :, 1] > 0.999)
+        val = jnp.einsum("pgi,psi->pgs", tmp, Ck,
+                         preferred_element_type=jnp.float32)    # (P, gh, gw)
+        # analytic volume-rect mask replaces the old validity channel:
+        # grid points whose lerp position falls outside the voxel rect get
+        # partial/zero-weight rows and must not produce crossings
+        ok = (plane_ok[:, None, None]
+              & ((j_of_t >= 0.0) & (j_of_t <= Hv - 1.0))[:, :, None]
+              & ((i_of_s >= 0.0) & (i_of_s <= Wv - 1.0))[:, None, :])
         qz = denom[:, None, None] * h2
         in_range = ok & (qz > near) & (qz < far)
 
@@ -641,7 +665,7 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
                      asc_n, dsc_depth, dsc_n, dsc_found), None
 
     xs = (
-        packed.reshape(D // P, P, Hv, Wv, 2),
+        packed.reshape(D // P, P, Hv, Wv),
         denom_all.reshape(D // P, P),
         offs_all.reshape(D // P, P),
         offt_all.reshape(D // P, P),
