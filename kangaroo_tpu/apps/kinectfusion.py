@@ -106,11 +106,15 @@ def preprocess_depth(depth_raw, K: Intrinsics, cfg: KinectFusionConfig):
 
 
 def raycast_model(vol: TsdfVolume, T_wl, K: Intrinsics, cfg: KinectFusionConfig,
-                  levels: Optional[list] = None, trunc: Optional[float] = None):
+                  levels: Optional[list] = None, trunc: Optional[float] = None,
+                  cloud: bool = False):
     """Predicted depth/normal/point pyramids by raycasting the model from the
     current pose estimate (main.cpp:280-291). ``trunc`` must be passed when
     called inside a jit (the default derives it from the volume, which
-    traces)."""
+    traces). ``cloud`` (separable engine only) returns the model as
+    sweep-grid camera-space clouds instead of pixel images — skips the
+    image-sized NN warp per level, and projective ICP consumes the cloud
+    directly (fusion/separable.py raycast docstring)."""
     if trunc is None:
         trunc = cfg.trunc_dist_factor * float(
             np.linalg.norm(np.asarray(vol.voxel_size_units()))
@@ -124,7 +128,15 @@ def raycast_model(vol: TsdfVolume, T_wl, K: Intrinsics, cfg: KinectFusionConfig,
             continue
         Kl = K.level(l)
         w_l, h_l = cfg.w >> l, cfg.h >> l
-        if cfg.engine == "separable":
+        if cfg.engine == "separable" and cloud:
+            d, vbo, n = separable.raycast_sdf_separable(
+                vol, T_wl, Kl, w_l, h_l, cfg.near, cfg.far, trunc_dist=trunc,
+                shade=False, output="cloud")
+            out_d.append(d)
+            out_v.append(vbo)
+            out_n.append(n)
+            continue
+        elif cfg.engine == "separable":
             d, n, _ = separable.raycast_sdf_separable(
                 vol, T_wl, Kl, w_l, h_l, cfg.near, cfg.far, trunc_dist=trunc,
                 shade=False)
@@ -206,6 +218,10 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
             d0, _, _ = separable.raycast_sdf_separable(
                 vol, T_wl, K, cfg.w, cfg.h, cfg.near, cfg.far,
                 trunc_dist=trunc_dist, shade=False)
+            # pin the sweep result: its depth pyramid has 6 consumers (vbo +
+            # normals per ICP level) and XLA otherwise rematerialises parts
+            # of the 256-plane sweep into them
+            d0 = jax.lax.optimization_barrier(d0)
             d_pyr = pyr_mod.box_reduce_ignore_invalid(d0, cfg.max_levels)
             ray_v, ray_n = [], []
             for l in range(cfg.max_levels):
@@ -218,7 +234,8 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
                 ray_n.append(depth_mod.normals_from_vbo(vl))
         else:
             _, ray_v, ray_n = raycast_model(vol, T_wl, K, cfg, levels=cfg.its,
-                                            trunc=trunc_dist)
+                                            trunc=trunc_dist,
+                                            cloud=cfg.engine == "separable")
         T_lp, rmse = icp_refine(kin_v, ray_v, ray_n, K, cfg, K_mats=K_mats)
         good = jnp.isfinite(rmse) & (rmse < cfg.max_rmse)
         T_new = jnp.where(good & ~first,
@@ -339,7 +356,8 @@ class KinectFusion:
 
         if pose_refinement and self.frame > 0:
             _, ray_v, ray_n = raycast_model(self.vol, self.T_wl, self.K, cfg,
-                                            levels=cfg.its)
+                                            levels=cfg.its,
+                                            cloud=cfg.engine == "separable")
             T_lp, rmse = icp_refine(kin_v, ray_v, ray_n, self.K, cfg)
             self.rmse = float(rmse)
             if not np.isfinite(self.rmse):

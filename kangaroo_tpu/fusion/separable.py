@@ -491,12 +491,13 @@ def sdf_fuse_color_separable(vol: TsdfVolume, color_vol, depth, normals,
 @functools.partial(
     jax.jit,
     static_argnames=("w", "h", "grid_w", "grid_h", "shade", "normals",
-                     "sweep_axis"))
+                     "sweep_axis", "output"))
 def raycast_sdf_separable(vol: TsdfVolume, T_wc, K, w: int, h: int,
                           near=0.1, far=10.0, trunc_dist=None,
                           grid_w: int | None = None, grid_h: int | None = None,
                           shade: bool = True, normals: str = "depth",
-                          sweep_axis: int | str = "auto"):
+                          sweep_axis: int | str = "auto",
+                          output: str = "pixels"):
     """RaycastSdf (cu_raycast.cu:34-113) as a gather-free plane sweep.
 
     Every volume z-plane resamples onto the intermediate (t, s) grid with
@@ -515,6 +516,15 @@ def raycast_sdf_separable(vol: TsdfVolume, T_wc, K, w: int, h: int,
     rays nearly parallel to the sweep planes miss crossings, so 'auto'
     picks the axis most parallel to the view via ``lax.switch``.
     Returns (depth, normals(h,w,4), img) like raycast_sdf.
+
+    ``output='cloud'`` skips the final pixel warp (an image-sized NN gather
+    — 2.2 ms at VGA, the sweep's single most expensive op) and returns the
+    model as a camera-space point cloud ON THE SWEEP GRID:
+    (depth (gh, gw), vbo (gh, gw, 4), normals (gh, gw, 4)). Each grid node
+    lies on an exact camera ray, so projective ICP consumes it directly —
+    the reference's frame loop only ever feeds the raycast to ICP
+    (kinectfusion/main.cpp:280-311), which does not care that the model
+    points sit on a reparametrised lattice.
     """
     if sweep_axis == "auto":
         T_cw = se3.inverse(jnp.asarray(T_wc))
@@ -523,15 +533,15 @@ def raycast_sdf_separable(vol: TsdfVolume, T_wc, K, w: int, h: int,
             idx,
             [lambda _, a=a: _raycast_axis(
                 vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
-                shade, normals, a) for a in (0, 1, 2)],
+                shade, normals, a, output) for a in (0, 1, 2)],
             None,
         )
     return _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w,
-                         grid_h, shade, normals, sweep_axis)
+                         grid_h, shade, normals, sweep_axis, output)
 
 
 def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
-                  shade, normals, axis: int):
+                  shade, normals, axis: int, output: str = "pixels"):
     order, perm = _ORDER[axis], _PERM[axis]
     grad_normals = normals == "gradient"
     grid_w = grid_w or w
@@ -590,8 +600,9 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
     # batch P planes per scan step (MXU-sized matmuls, see sdf_fuse_separable)
     P = next(p for p in (8, 4, 2, 1) if D % p == 0)
 
-    def planes(c: Carry, xs):
-        vplanes, denom, off_s, off_t = xs  # (P, Hv, Wv), (P,)
+    def _resample(vplanes, denom, off_s, off_t):
+        """Two banded matmuls + analytic masks: (val, in_range, qz) slabs
+        plus the raw pieces the gradient-normal path needs."""
         plane_ok = jnp.abs(denom) > 1e-6
         # voxel coords of each grid point on each plane
         i_of_s = s[None, :] * denom[:, None] - off_s[:, None]   # (P, gw)
@@ -610,6 +621,11 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
               & ((i_of_s >= 0.0) & (i_of_s <= Wv - 1.0))[:, None, :])
         qz = denom[:, None, None] * h2
         in_range = ok & (qz > near) & (qz < far)
+        return val, in_range, qz, plane_ok
+
+    def planes(c: Carry, xs):
+        vplanes, denom, off_s, off_t = xs  # (P, Hv, Wv), (P,)
+        val, in_range, qz, plane_ok = _resample(vplanes, denom, off_s, off_t)
 
         prev_val = jnp.concatenate([c.prev_val[None], val[:-1]], axis=0)
         prev_ok = jnp.concatenate([c.prev_ok[None], in_range[:-1]], axis=0)
@@ -670,10 +686,82 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
         offs_all.reshape(D // P, P),
         offt_all.reshape(D // P, P),
     )
-    c, _ = jax.lax.scan(planes, init, xs)
 
-    found = jnp.where(ascending, c.asc_found, c.dsc_found)
-    qz_hit = jnp.where(ascending, c.asc_depth, c.dsc_depth)
+    if grad_normals:
+        c, _ = jax.lax.scan(planes, init, xs)
+        found = jnp.where(ascending, c.asc_found, c.dsc_found)
+        qz_hit = jnp.where(ascending, c.asc_depth, c.dsc_depth)
+    else:
+        # Almost every frame has a uniform ray orientation (h2 only changes
+        # sign when the sweep horizon crosses the grid window), so the
+        # common case runs a single-orientation sweep with half the
+        # crossing bookkeeping; descending frames flip the plane order,
+        # which makes the first-crossing-in-scan-order semantics (and the
+        # interpolation formulas, bit-exactly) equal to the dual scan's
+        # reverse path. Mixed frames fall back to the dual scan.
+        class CarryS(NamedTuple):
+            prev_val: jnp.ndarray
+            prev_ok: jnp.ndarray
+            prev_qz: jnp.ndarray
+            depth: jnp.ndarray
+            found: jnp.ndarray
+
+        def planes_single(c: CarryS, xs_k):
+            vplanes, denom, off_s, off_t = xs_k
+            val, in_range, qz, _ = _resample(vplanes, denom, off_s, off_t)
+            prev_val = jnp.concatenate([c.prev_val[None], val[:-1]], axis=0)
+            prev_ok = jnp.concatenate([c.prev_ok[None], in_range[:-1]], axis=0)
+            prev_qz = jnp.concatenate([c.prev_qz[None], qz[:-1]], axis=0)
+            crossing = in_range & prev_ok & (prev_val > 0) & (val <= 0)
+            lam = prev_val / jnp.maximum(prev_val - val, 1e-20)
+            qz_hit = prev_qz + (qz - prev_qz) * lam
+            prior = jnp.cumsum(crossing, axis=0) - crossing.astype(jnp.int32)
+            first = crossing & (prior == 0) & ~c.found
+            depth = c.depth + jnp.sum(jnp.where(first, qz_hit, 0.0), axis=0)
+            found = c.found | jnp.any(crossing, axis=0)
+            return CarryS(val[-1], in_range[-1], qz[-1], depth, found), None
+
+        all_asc = jnp.all(ascending)
+        uniform = all_asc | jnp.all(~ascending)
+
+        def uniform_case(_):
+            flip = ~all_asc
+            pk = jnp.where(flip, packed[::-1], packed)
+            dn = jnp.where(flip, denom_all[::-1], denom_all)
+            osf = jnp.where(flip, offs_all[::-1], offs_all)
+            otf = jnp.where(flip, offt_all[::-1], offt_all)
+            xs_u = (
+                pk.reshape(D // P, P, Hv, Wv),
+                dn.reshape(D // P, P),
+                osf.reshape(D // P, P),
+                otf.reshape(D // P, P),
+            )
+            cs, _ = jax.lax.scan(planes_single, CarryS(zero, fal, zero, zero, fal),
+                                 xs_u)
+            return cs.depth, cs.found
+
+        def mixed_case(_):
+            c, _ = jax.lax.scan(planes, init, xs)
+            return (jnp.where(ascending, c.asc_depth, c.dsc_depth),
+                    jnp.where(ascending, c.asc_found, c.dsc_found))
+
+        qz_hit, found = jax.lax.cond(uniform, uniform_case, mixed_case, None)
+
+    if output == "cloud":
+        # camera-space model cloud on the sweep grid — no pixel warp.
+        # Each grid node (t, s) maps through A to a pixel position (u, v),
+        # i.e. an exact camera ray; its hit is P_c = qz * unproject(u, v).
+        from ..geometry import depth as depth_mod
+
+        assert not grad_normals, "cloud output uses depth-derived normals"
+        u, v = _grid_uv(geom, s, t)
+        ok = found & jnp.isfinite(u) & jnp.isfinite(v)
+        depth_g = jnp.where(ok, qz_hit, jnp.nan)
+        dirx = (u - K.u0) / K.fu
+        diry = (v - K.v0) / K.fv
+        vbo = jnp.stack([dirx * depth_g, diry * depth_g, depth_g,
+                         jnp.ones_like(depth_g)], axis=-1)
+        return depth_g, vbo, depth_mod.normals_from_vbo(vbo)
 
     # ---- final warp: sample the (t, s) results at each pixel's (s, t)
     vv, uu = jnp.mgrid[0:h, 0:w].astype(jnp.float32)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import se3
+from ..solvers.lss import solve_spd
 
 
 @dataclasses.dataclass
@@ -85,8 +86,7 @@ class PoseGraph:
             if fix_first:
                 mask = jnp.ones(n * 6).at[:6].set(0.0)
                 J = J * mask[None, :]
-            A = J.T @ J + damping * jnp.eye(n * 6)
-            dx = -jnp.linalg.solve(A, J.T @ r)
+            dx = -solve_spd(J.T @ J, J.T @ r, damping)
             if fix_first:
                 dx = dx.at[:6].set(0.0)
             xi = dx.reshape(n, 6)

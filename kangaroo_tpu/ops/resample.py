@@ -37,30 +37,29 @@ def resample(img, out_w: int, out_h: int, method="bilinear"):
     return sampler(img, sx, sy)
 
 
-def _quad(img):
-    """The 2x2 blocks of img as four (H//2, W//2, ...) arrays."""
-    h2 = (img.shape[0] // 2) * 2
-    w2 = (img.shape[1] // 2) * 2
-    c = img[:h2, :w2]
-    return c[0::2, 0::2], c[0::2, 1::2], c[1::2, 0::2], c[1::2, 1::2]
+def _pool2_sum(x):
+    """Sum over 2x2 blocks via reduce_window: TPU has a native lowering,
+    whereas the natural img[0::2, 0::2] strided slices each lower to a
+    GATHER on the lane dimension (measured ~0.8 ms per slice at VGA inside
+    the KinectFusion frame jit — 4 gathers made the pyramid the single most
+    expensive stage)."""
+    import jax
+
+    window = (2, 2) + (1,) * (x.ndim - 2)
+    return jax.lax.reduce_window(x, 0.0, jax.lax.add, window, window, "VALID")
 
 
 def box_half(img):
     """2x2 mean downsample (BoxHalf, cu_resample.cu:54-83)."""
-    tl, tr, bl, br = _quad(img.astype(jnp.float32))
-    out = (tl + tr + bl + br) / 4.0
+    out = _pool2_sum(img.astype(jnp.float32)) / 4.0
     return out.astype(img.dtype) if jnp.issubdtype(img.dtype, jnp.integer) else out
 
 
 def box_half_ignore_invalid(img):
     """2x2 mean over the valid entries only (cu_resample.cu:90-125)."""
-    quads = _quad(img)
-    n = jnp.zeros(quads[0].shape, jnp.float32)
-    s = jnp.zeros(quads[0].shape, jnp.float32)
-    for q in quads:
-        ok = invalid.is_valid(q)
-        n = n + ok
-        s = s + jnp.where(ok, q.astype(jnp.float32), 0.0)
+    ok = invalid.is_valid(img)
+    s = _pool2_sum(jnp.where(ok, img.astype(jnp.float32), 0.0))
+    n = _pool2_sum(ok.astype(jnp.float32))
     out = s / jnp.maximum(n, 1.0)
     bad = n == 0
     if jnp.issubdtype(img.dtype, jnp.floating):

@@ -200,8 +200,9 @@ def stereo_intrinsics_refine(points_w, obs_l, obs_r, K0, T_rl0,
     for _ in range(iterations):
         J = jax.jacfwd(residuals)(theta)
         r = residuals(theta)
-        A = J.T @ J + damping * jnp.eye(theta.shape[0])
-        theta = theta - jnp.linalg.solve(A, J.T @ r)
+        from .lss import solve_spd
+
+        theta = theta - solve_spd(J.T @ J, J.T @ r, damping)
         # re-anchor the pose part so exp stays near identity
         T_new = se3.compose(se3.exp(theta[4:10]), T_rl0)
         T_rl0 = T_new

@@ -58,8 +58,8 @@ def solve_pose_update(sum_lss: LSS, rotation_only: bool = False):
     ``rotation_only`` solves only the 3x3 rotation block (used at the
     coarsest pyramid level, main.cpp:326-331)."""
     if rotation_only:
-        JTJ = sum_lss.JTJ[3:, 3:]
-        JTy = sum_lss.JTy[3:]
-        x_rot = jnp.linalg.solve(JTJ, JTy)
+        from .lss import solve_spd
+
+        x_rot = solve_spd(sum_lss.JTJ[3:, 3:], sum_lss.JTy[3:])
         return jnp.concatenate([jnp.zeros(3, jnp.float32), x_rot])
     return sum_lss.solve()

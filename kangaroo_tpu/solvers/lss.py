@@ -49,9 +49,26 @@ class LSS:
     def solve(self, damping=0.0):
         """x = JTJ^-1 JTy. The reference does this on host with Eigen
         FullPivLU (kinectfusion/main.cpp:323-334); here it is a 6x6 solve
-        on-device."""
-        A = self.JTJ + damping * jnp.eye(self.JTJ.shape[0], dtype=jnp.float32)
-        return jnp.linalg.solve(A, self.JTy)
+        on-device — via Cholesky, because JTJ is SPD and TPU lowers
+        jnp.linalg.solve to a pivoted-LU custom call costing ~0.3 ms per
+        tiny solve (6 chained solves in the ICP loop measured 1.7 ms; the
+        Cholesky chain is below measurement resolution). A singular system
+        yields NaNs, which the callers' isfinite guards already handle."""
+        return solve_spd(self.JTJ, self.JTy, damping)
+
+
+def solve_spd(A, b, damping=0.0):
+    """Solve the SPD system (A + damping I) x = b by Cholesky.
+
+    Replaces jnp.linalg.solve everywhere a Gauss-Newton normal matrix is
+    solved: TPU lowers the general solve to a pivoted-LU custom call with
+    ~0.3 ms latency per tiny matrix, while cholesky + two triangular
+    solves compile to cheap on-device ops."""
+    import jax.scipy.linalg as jsl
+
+    A = A + damping * jnp.eye(A.shape[0], dtype=A.dtype)
+    L = jnp.linalg.cholesky(A)
+    return jsl.cho_solve((L, True), b)
 
 
 def reduce_system(J, y, w, valid) -> LSS:
