@@ -241,14 +241,13 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
         T_new = jnp.where(good & ~first,
                           se3.compose(T_wl, se3.inverse(T_lp)), T_wl)
         T_lw = se3.inverse(T_new)
+        # the tracking gate rides inside the fuse (zero updates -> exact
+        # volume passthrough), saving two volume-sized selects here
         fused = separable.sdf_fuse_separable(
             vol, kin_v[0][..., 2], kin_n[0], T_lw, K, trunc_dist,
-            cfg.max_w, cfg.min_cos_theta,
+            cfg.max_w, cfg.min_cos_theta, enable=good | first,
         )
-        keep = good | first
-        val2 = jnp.where(keep, fused.val, val)
-        w2 = jnp.where(keep, fused.weight, weight)
-        return val2, w2, T_new, rmse
+        return fused.val, fused.weight, T_new, rmse
 
     return step
 

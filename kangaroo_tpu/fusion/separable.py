@@ -210,7 +210,8 @@ def _lerp_matrix_batch(pos, n_in: int):
 
 def _blend(old_val, old_w, new_sd, w_new, max_w):
     """SDF_t::operator+= then LimitWeight (Sdf.h:25-32), first-observation
-    guard as in sdf.sdf_fuse."""
+    guard as in sdf.sdf_fuse. Voxels with no update (w_new == 0) pass
+    through bit-exactly — the reference only invokes += under its guard."""
     old_val_safe = jnp.where(old_w > 0, old_val, 0.0)
     w_tot = old_w + w_new
     val = jnp.where(
@@ -218,6 +219,7 @@ def _blend(old_val, old_w, new_sd, w_new, max_w):
         (old_w * old_val_safe + w_new * new_sd) / jnp.maximum(w_tot, 1e-20),
         old_val,
     )
+    val = jnp.where(w_new > 0, val, old_val)
     return val, jnp.minimum(w_tot, max_w)
 
 
@@ -235,7 +237,8 @@ def sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
                        grid_w: int | None = None,
                        grid_h: int | None = None,
                        warp: str = "nearest",
-                       sweep_axis: int | str = "auto") -> TsdfVolume:
+                       sweep_axis: int | str = "auto",
+                       enable=None) -> TsdfVolume:
     """SdfFuse (cu_sdffusion.cu:16-61) with zero per-voxel gathers.
 
     One warp of the (depth, costheta, valid) image onto the intermediate
@@ -246,6 +249,11 @@ def sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
     selects the axis most parallel to the view at trace time via
     ``lax.switch`` (a plane parallel to the view projects to a line and
     its homography degenerates).
+
+    ``enable`` (optional traced bool) gates the whole update inside the
+    plane loop: when False the volume passes through unchanged. Callers
+    that would otherwise jnp.where-select full volumes afterwards (the
+    frame step's tracking gate) save two volume-sized selects.
     """
     if sweep_axis == "auto":
         idx = _view_axis_index(T_cw)
@@ -253,16 +261,17 @@ def sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
             idx,
             [lambda _, a=a: _sdf_fuse_axis(
                 vol, depth, normals, T_cw, K, trunc_dist, max_w, mincostheta,
-                grid_w, grid_h, warp, a) for a in (0, 1, 2)],
+                grid_w, grid_h, warp, a, enable=enable) for a in (0, 1, 2)],
             None,
         )
     return _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
-                          mincostheta, grid_w, grid_h, warp, sweep_axis)
+                          mincostheta, grid_w, grid_h, warp, sweep_axis,
+                          enable=enable)
 
 
 def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
                    mincostheta, grid_w, grid_h, warp, axis: int,
-                   color=None, img=None, T_iw=None, K_img=None):
+                   color=None, img=None, T_iw=None, K_img=None, enable=None):
     order, perm, inv_perm = _ORDER[axis], _PERM[axis], _INV_PERM[axis]
     Hi, Wi = depth.shape
     grid_w = grid_w or Wi
@@ -390,6 +399,8 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
             & jnp.isfinite(w)
             & (ct > mincostheta)
         )
+        if enable is not None:
+            update = update & enable
 
         if color_p is not None:
             p2_ok = jnp.abs(dn2) > 1e-6
