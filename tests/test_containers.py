@@ -269,3 +269,38 @@ def test_pytrees_jit():
 
     out = f(K, jnp.array([[0.1, 0.2, 1.0]]))
     assert out.shape == (1, 2)
+
+
+class TestBoxHalfOddSizes:
+    """reduce_window lowering must match the old strided-slice semantics
+    (crop to even dims) for odd inputs."""
+
+    def test_odd_dims_cropped(self):
+        import numpy as np
+
+        from kangaroo_tpu.ops import resample
+
+        rng = np.random.default_rng(3)
+        img = rng.random((7, 9)).astype(np.float32)
+        out = np.asarray(resample.box_half(jnp.asarray(img)))
+        assert out.shape == (3, 4)
+        want = img[:6, :8].reshape(3, 2, 4, 2).mean(axis=(1, 3))
+        np.testing.assert_allclose(out, want, rtol=1e-6)
+
+    def test_ignore_invalid_odd_dims(self):
+        import numpy as np
+
+        from kangaroo_tpu.ops import resample
+
+        rng = np.random.default_rng(4)
+        img = rng.random((5, 7)).astype(np.float32)
+        img[1, 2] = np.nan
+        img[0, :2] = np.nan
+        out = np.asarray(resample.box_half_ignore_invalid(jnp.asarray(img)))
+        assert out.shape == (2, 3)
+        # block (0,0) has both top entries NaN -> mean of the two valid
+        c = img[:4, :6].reshape(2, 2, 3, 2)
+        blocks = c.transpose(0, 2, 1, 3).reshape(2, 3, 4)
+        want = np.array([[np.nanmean(b) if np.isfinite(b).any() else np.nan
+                          for b in row] for row in blocks])
+        np.testing.assert_allclose(out, want, rtol=1e-6)

@@ -198,3 +198,58 @@ class TestSeparableRaycast:
         d, n, _ = sep.raycast_sdf_separable(vol.reset(jnp.nan), T_wc, K, W, H,
                                             near=0.5, far=8.0, trunc_dist=0.15)
         assert not np.isfinite(np.asarray(d)).any()
+
+
+class TestCloudOutput:
+    """raycast_sdf_separable(output='cloud') — the ICP fast path."""
+
+    def test_cloud_points_lie_on_surface(self):
+        K, vol, T_wc, gt, norm, W, H = _scene((0.2, 0.3, 0.0))
+        T_cw = se3.inverse(T_wc)
+        vol1 = sdf_mod.sdf_fuse(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        d, vbo, n4 = sep.raycast_sdf_separable(
+            vol1, T_wc, K, W, H, near=0.5, far=8.0, trunc_dist=0.15,
+            output="cloud")
+        assert vbo.shape == (H, W, 4) and n4.shape == (H, W, 4)
+        P_c = np.asarray(vbo)[..., :3]
+        ok = np.isfinite(P_c[..., 2])
+        assert ok.sum() > 300
+        # camera-space points, transformed to world, must lie on the sphere
+        P_w = np.asarray(se3.transform(T_wc, jnp.asarray(P_c[ok])))
+        r = np.linalg.norm(P_w, axis=-1)
+        assert np.median(np.abs(r - 0.9)) < 0.02  # < 0.4 voxel
+
+    def test_cloud_normals_face_camera(self):
+        K, vol, T_wc, gt, norm, W, H = _scene((0.0, 0.0, 0.0))
+        T_cw = se3.inverse(T_wc)
+        vol1 = sdf_mod.sdf_fuse(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        _, vbo, n4 = sep.raycast_sdf_separable(
+            vol1, T_wc, K, W, H, near=0.5, far=8.0, trunc_dist=0.15,
+            output="cloud")
+        n = np.asarray(n4)
+        ok = n[..., 3] == 1.0
+        nz = n[ok][:, 2]
+        fin = np.isfinite(nz)
+        # camera looks along +z: visible surface normals point back (-z)
+        assert (nz[fin] < 0).mean() > 0.9
+
+
+class TestFuseEnableGate:
+    def test_enable_false_is_bit_exact_passthrough(self):
+        K, vol, T_wc, gt, norm, W, H = _scene()
+        T_cw = se3.inverse(T_wc)
+        vol1 = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0,
+                                      0.1)
+        out = sep.sdf_fuse_separable(vol1, gt, norm, T_cw, K, 0.15, 1000.0,
+                                     0.1, enable=jnp.asarray(False))
+        np.testing.assert_array_equal(np.asarray(out.val), np.asarray(vol1.val))
+        np.testing.assert_array_equal(np.asarray(out.weight),
+                                      np.asarray(vol1.weight))
+
+    def test_enable_true_matches_ungated(self):
+        K, vol, T_wc, gt, norm, W, H = _scene()
+        T_cw = se3.inverse(T_wc)
+        a = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        b = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1,
+                                   enable=jnp.asarray(True))
+        np.testing.assert_array_equal(np.asarray(a.val), np.asarray(b.val))
