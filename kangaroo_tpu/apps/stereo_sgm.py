@@ -54,8 +54,12 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
     bits = census_mod.norm_bits(cfg.census_window)
     left_f = left.astype(jnp.float32)
     right_f = right.astype(jnp.float32)
+    # power-of-two normalisers make every cost k/bits exact in bfloat16, so
+    # the half-bandwidth volume aggregates bit-identically (census.py)
+    vol_dtype = jnp.bfloat16 if bits & (bits - 1) == 0 else jnp.float32
 
-    vol_l = census_mod.census_cost_volume(cl, cr, cfg.max_disp, -1, bits)
+    vol_l = census_mod.census_cost_volume(cl, cr, cfg.max_disp, -1, bits,
+                                          dtype=vol_dtype)
     agg_l = fast.semi_global_matching(
         vol_l, left_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert,
         cfg.do_reverse, cfg.do_diagonal,
@@ -74,7 +78,8 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
             cols = jnp.clip(x[None, :] + jnp.arange(D)[:, None], 0, agg_l.shape[2] - 1)
             agg_r = jnp.take_along_axis(agg_l, cols[:, None, :], axis=2)
         else:
-            vol_r = census_mod.census_cost_volume(cr, cl, cfg.max_disp, 1, bits)
+            vol_r = census_mod.census_cost_volume(cr, cl, cfg.max_disp, 1, bits,
+                                                  dtype=vol_dtype)
             agg_r = fast.semi_global_matching(
                 vol_r, right_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert,
                 cfg.do_reverse, cfg.do_diagonal, sd=1,

@@ -79,14 +79,22 @@ def norm_bits(window: str) -> int:
     return _WINDOWS[window][1]
 
 
-@functools.partial(jax.jit, static_argnames=("max_disp", "sd", "bits"))
-def census_cost_volume(left, right, max_disp: int, sd: float = -1.0, bits: int | None = None):
+@functools.partial(jax.jit, static_argnames=("max_disp", "sd", "bits", "dtype"))
+def census_cost_volume(left, right, max_disp: int, sd: float = -1.0,
+                       bits: int | None = None, dtype=jnp.float32):
     """Census cost volume: vol[d, y, x] = Hamming(left[y,x], right[y,x+sd*d]) / bits,
     0.5 where x+sd*d is out of bounds (CensusStereoVolume, cu_census.cu:272-314).
 
     left/right are census images (H, W, K) uint32. ``bits`` is the score
     normaliser; defaults to the stored word capacity (pass
     ``norm_bits(window)`` for reference-exact scores with the 16x16 window).
+
+    The per-disparity shift is a lane roll, not an indexed slice (clipped
+    fancy indexing lowers to a gather on TPU; the wrapped lanes land on
+    out-of-bounds positions that are masked to 0.5 either way). ``dtype``
+    may be bfloat16: with a power-of-two ``bits`` every cost k/bits with
+    k <= 256 is exactly representable, so the half-sized volume is
+    bit-identical through downstream f32 aggregation.
     """
     H, W, K = left.shape
     inv_bits = 1.0 / (bits if bits is not None else K * 32)
@@ -96,9 +104,9 @@ def census_cost_volume(left, right, max_disp: int, sd: float = -1.0, bits: int |
     def slice_d(d):
         xd = x + sd * d
         ok = (xd >= 0) & (xd < W)
-        r = right[:, jnp.clip(xd, 0, W - 1), :]
+        r = jnp.roll(right, -sd * d, axis=1)
         ham = hamming_distance(left, r).astype(jnp.float32) * inv_bits
-        return jnp.where(ok[None, :], ham, 0.5)
+        return jnp.where(ok[None, :], ham, 0.5).astype(dtype)
 
     return jnp.stack([slice_d(d) for d in range(max_disp)], axis=0)
 
@@ -118,7 +126,9 @@ def census_stereo(left, right, max_disp: int):
     for d in range(max_disp):
         xd = x - d
         ok = (d < x) & (xd >= 0)
-        r = right[:, jnp.clip(xd, 0, W - 1), :]
+        # lane roll, not clipped indexing (a gather on TPU); wrapped lanes
+        # are masked by ok
+        r = jnp.roll(right, d, axis=1)
         score = hamming_distance(left, r)
         better = ok[None, :] & (score < best_score)
         best_score = jnp.where(better, score, best_score)

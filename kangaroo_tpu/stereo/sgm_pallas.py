@@ -58,11 +58,13 @@ def _make_kernel(P1, R, total, width, mask_mode, scan_is_x):
             return xpos + dsub < width
 
         def seed(c, out_ref, i, prev, best, m):
+            c = c.astype(jnp.float32)
             out_ref[:, i, :] = jnp.where(m, c, 0.0) if m is not None else c
             prev[:] = jnp.where(m, c, _BIG) if m is not None else c
             best[:] = jnp.zeros_like(best)
 
         def step(c, p2_ref, out_ref, i, prev, best, m):
+            c = c.astype(jnp.float32)
             p2 = p2_ref[0, i, :].reshape(1, N)  # lane vector
             pv = prev[:]
             lastbest = best[0:1, :]
@@ -130,7 +132,10 @@ def sgm_aggregate_scan(vol, img, P1=0.01, P2=0.02, do_reverse: bool = True,
     assert S % R == 0, f"scan length {S} must be a multiple of {R}"
     if width is None:
         width = S if scan_is_x else N
-    vol = vol.astype(jnp.float32)
+    if vol.dtype != jnp.bfloat16:
+        # bf16 volumes stream half the DMA bytes; the recurrence itself
+        # always runs f32 (costs are cast at the VMEM read)
+        vol = vol.astype(jnp.float32)
     p2f = _p2_rows(img, P2, reverse=False)
     p2r = _p2_rows(img, P2, reverse=True)
 
@@ -180,9 +185,10 @@ def semi_global_matching(vol, img, P1=0.01, P2=0.02, do_horiz: bool = True,
                          do_vert: bool = True, do_reverse: bool = True,
                          do_diagonal: bool = False, sd: int = -1):
     """Drop-in Pallas replacement for sgm.semi_global_matching: vol (D, H, W),
-    img (H, W) -> aggregated (D, H, W)."""
+    img (H, W) -> aggregated (D, H, W); a bfloat16 vol streams at half the
+    bandwidth (aggregation is f32 regardless)."""
     D, H, W = vol.shape
-    v = vol.astype(jnp.float32)
+    v = vol if vol.dtype == jnp.bfloat16 else vol.astype(jnp.float32)
     mask_mode = "left" if sd < 0 else "right"
     out = jnp.zeros_like(v)
     if do_vert:
@@ -219,6 +225,7 @@ def _make_diag_kernel(P1, R, total, width, mask_mode, dx):
         pred_in_image = (lane - dx >= 0) & (lane - dx < N)
 
         def step(c, p2_ref, out_ref, i, prev, best, row_pos):
+            c = c.astype(jnp.float32)
             p2 = p2_ref[0, i, :].reshape(1, N)
             has_prev = (row_pos >= 1) & pred_in_image
             pv = jnp.where(has_prev, pltpu.roll(prev[:], dx % N, axis=1), _BIG)
@@ -271,7 +278,8 @@ def sgm_aggregate_diag(vol, img, P1=0.01, P2=0.02, mask_mode: str = "left",
     assert S % R == 0
     if width is None:
         width = N
-    vol = vol.astype(jnp.float32)
+    if vol.dtype != jnp.bfloat16:
+        vol = vol.astype(jnp.float32)
     p2f = _p2_diag(img, P2, dx, reverse=False)
     p2r = _p2_diag(img, P2, dx, reverse=True)
 
