@@ -34,24 +34,38 @@ def integral_image(img):
     return jnp.cumsum(jnp.cumsum(img.astype(jnp.float32), axis=0), axis=1)
 
 
+def _box_sum_and_area(ii, rad: int):
+    """Clamped-window 4-corner box sum from a (H+1, W+1) front-padded
+    inclusive integral image, as edge-pads + pure slices: the natural
+    ii[clip(y-rad), clip(x-rad)] fancy indexing lowers to four image-sized
+    GATHERS on TPU, but with a static radius every corner lookup is a
+    monotone saturated shift — i.e. an edge-replicated pad followed by a
+    contiguous slice."""
+    H, W = ii.shape[0] - 1, ii.shape[1] - 1
+    # rows: A/B read clip(y - rad, 0, H-1); C/D read min(y + rad + 1, H)
+    rows_ab = jnp.pad(ii, ((rad, 0), (0, 0)), mode="edge")[:H]
+    rows_cd = jnp.pad(ii, ((0, rad), (0, 0)), mode="edge")[rad + 1:rad + 1 + H]
+
+    def cols_ad(m):  # clip(x - rad, 0, W-1)
+        return jnp.pad(m, ((0, 0), (rad, 0)), mode="edge")[:, :W]
+
+    def cols_bc(m):  # min(x + rad + 1, W)
+        return jnp.pad(m, ((0, 0), (0, rad)), mode="edge")[:, rad + 1:rad + 1 + W]
+
+    s = cols_bc(rows_cd) + cols_ad(rows_ab) - cols_bc(rows_ab) - cols_ad(rows_cd)
+    y = jnp.arange(H)
+    x = jnp.arange(W)
+    ny = jnp.clip(y + rad, 0, H - 1) - jnp.clip(y - rad, 0, H - 1) + 1
+    nx = jnp.clip(x + rad, 0, W - 1) - jnp.clip(x - rad, 0, W - 1) + 1
+    return s, (ny[:, None] * nx[None, :]).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("rad",))
 def box_filter(img, rad: int):
     """Mean over the window [x-rad, x+rad] x [y-rad, y+rad] clamped to the
     image (BoxFilter, cu_integral_image.h:24-37)."""
-    H, W = img.shape
     ii = jnp.pad(integral_image(img), ((1, 0), (1, 0)))
-    y = jnp.arange(H)
-    x = jnp.arange(W)
-    y0 = jnp.clip(y - rad, 0, H - 1)
-    y1 = jnp.clip(y + rad, 0, H - 1)
-    x0 = jnp.clip(x - rad, 0, W - 1)
-    x1 = jnp.clip(x + rad, 0, W - 1)
-    A = ii[y0[:, None], x0[None, :]]
-    B = ii[y0[:, None], x1[None, :] + 1]
-    C = ii[y1[:, None] + 1, x1[None, :] + 1]
-    D = ii[y1[:, None] + 1, x0[None, :]]
-    s = C + A - B - D
-    area = ((y1 - y0 + 1)[:, None] * (x1 - x0 + 1)[None, :]).astype(jnp.float32)
+    s, area = _box_sum_and_area(ii, rad)
     return s / area
 
 
@@ -60,19 +74,7 @@ def box_filter_integral_image(ii_padded, rad: int):
     """4-corner box mean from a (H+1, W+1) zero-padded inclusive integral
     image (BoxFilterIntegralImage, cu_integral_image.cu:129-166, with the
     window/area off-by-one corrected — see module docstring)."""
-    H, W = ii_padded.shape[0] - 1, ii_padded.shape[1] - 1
-    y = jnp.arange(H)
-    x = jnp.arange(W)
-    y0 = jnp.clip(y - rad, 0, H - 1)
-    y1 = jnp.clip(y + rad, 0, H - 1)
-    x0 = jnp.clip(x - rad, 0, W - 1)
-    x1 = jnp.clip(x + rad, 0, W - 1)
-    A = ii_padded[y0[:, None], x0[None, :]]
-    B = ii_padded[y0[:, None], x1[None, :] + 1]
-    C = ii_padded[y1[:, None] + 1, x1[None, :] + 1]
-    D = ii_padded[y1[:, None] + 1, x0[None, :]]
-    s = C + A - B - D
-    area = ((y1 - y0 + 1)[:, None] * (x1 - x0 + 1)[None, :]).astype(jnp.float32)
+    s, area = _box_sum_and_area(ii_padded, rad)
     return s / area
 
 
@@ -107,5 +109,15 @@ def guided_filter(P, I, rad: int, eps):
 
 def guided_filter_volume(vol, I, rad: int, eps):
     """Guided-filter every disparity slice of a (D, H, W) cost volume against
-    guide I — the stereo app's cost-volume filtering (stereo/main.cpp:333-347)."""
-    return jax.vmap(lambda sl: guided_filter(sl, I, rad, eps))(vol)
+    guide I — the stereo app's cost-volume filtering (stereo/main.cpp:333-347).
+    The guide statistics (mean_I, var_I) are shared by every slice and
+    computed once, not per slice."""
+    var_i, _, mean_i = mean_variance(I, rad)
+
+    def one(P):
+        cov_ip, _, mean_p = covariance(P, I, mean_i, rad)
+        a = cov_ip / (var_i + eps)
+        b = mean_p - a * mean_i
+        return box_filter(a, rad) * I + box_filter(b, rad)
+
+    return jax.vmap(one)(vol)
