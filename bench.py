@@ -220,6 +220,14 @@ def pallas_parity_check():
         lambda a, b: fast.left_right_check(a, b, -1, 1.0, max_disp=D), disp, disp_r
     )
     close("lr check", got, want, atol=0)
+
+    from kangaroo_tpu.variational import rof, tgv
+
+    g = jnp.asarray(rng.random((48, 128)).astype(np.float32))
+    got, want = both(lambda x: rof.denoise(x, 8.0, iterations=40), g)
+    close("rof in-VMEM solve", got, want, atol=1e-4)
+    got, want = both(lambda x: tgv.denoise(x, iterations=40), g)
+    close("tgv in-VMEM solve", got, want, atol=1e-4)
     return "ok"
 
 

@@ -54,14 +54,28 @@ def weighted_l2_primal_descent(u, p, g, w, tau, lam):
     return (u + tau * (w * divp + lam * g)) / (1.0 + tau * lam)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "model"))
 def denoise(g, lam, sigma=0.5, tau=0.25, alpha=0.002, iterations: int = 100,
             model: str = "huber"):
     """Full ROF solve on-chip. model in {'tv', 'huber'}.
 
-    Mirrors the Denoising example's host loop (examples/Denoising.cpp) as a
-    lax.fori_loop so the entire solve is one XLA computation.
+    Mirrors the Denoising example's host loop (examples/Denoising.cpp). On
+    TPU the whole solve runs inside one Pallas kernel with the primal-dual
+    state resident in VMEM (pallas_solvers.rof_denoise — the XLA fori_loop
+    streams every field through HBM each iteration); elsewhere it is a
+    lax.fori_loop in one XLA computation.
     """
+    from .. import backend
+    from . import pallas_solvers as ps
+
+    if backend.use_pallas(ps.tileable(g.shape)):
+        return ps.rof_denoise(g, float(lam), float(sigma), float(tau),
+                              float(alpha), iterations, model)
+    return _denoise_xla(g, lam, sigma, tau, alpha, iterations, model)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "model"))
+def _denoise_xla(g, lam, sigma=0.5, tau=0.25, alpha=0.002,
+                 iterations: int = 100, model: str = "huber"):
     u0 = g
     p0 = jnp.zeros(g.shape + (2,), g.dtype)
 

@@ -52,10 +52,23 @@ def iteration(s: TgvState, f, alpha0, alpha1, sigma, tau, delta) -> TgvState:
     return TgvState(u, v, p, q, r)
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
 def denoise(f, alpha0=2.0, alpha1=1.0, sigma=0.5, tau=0.25, delta=0.1,
             iterations: int = 100):
-    """Full TGV-L1 denoise on-chip (examples/Denoising.cpp host loop)."""
+    """Full TGV-L1 denoise on-chip (examples/Denoising.cpp host loop). On
+    TPU all 9 field planes stay VMEM-resident across every iteration in one
+    Pallas kernel (pallas_solvers.tgv_denoise)."""
+    from .. import backend
+    from . import pallas_solvers as ps
+
+    if backend.use_pallas(ps.tileable(f.shape)):
+        return ps.tgv_denoise(f, float(alpha0), float(alpha1), float(sigma),
+                              float(tau), float(delta), iterations)
+    return _denoise_xla(f, alpha0, alpha1, sigma, tau, delta, iterations)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def _denoise_xla(f, alpha0=2.0, alpha1=1.0, sigma=0.5, tau=0.25, delta=0.1,
+                 iterations: int = 100):
     s0 = init(f)
 
     def body(_, s):
