@@ -253,3 +253,49 @@ class TestFuseEnableGate:
         b = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1,
                                    enable=jnp.asarray(True))
         np.testing.assert_array_equal(np.asarray(a.val), np.asarray(b.val))
+
+
+class TestPallasFuse:
+    """separable_pallas.fuse_planes_pallas (interpret mode) vs the XLA scan."""
+
+    @pytest.mark.parametrize("angles", POSES)
+    def test_matches_xla_scan(self, angles, monkeypatch):
+        from kangaroo_tpu import backend
+        from kangaroo_tpu.fusion import separable_pallas as sp
+        from jax.experimental import pallas as pl
+
+        K, vol, T_wc, gt, norm, W, H = _scene(angles)
+        T_cw = se3.inverse(T_wc)
+        want = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0,
+                                      0.1)
+
+        real_call = pl.pallas_call
+        monkeypatch.setenv("KANGAROO_PALLAS_FUSE", "1")
+        monkeypatch.setattr(backend, "on_tpu", lambda: True)
+        monkeypatch.setattr(
+            sp.pl, "pallas_call",
+            lambda *a, **k: real_call(*a, interpret=True, **k))
+        got = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0,
+                                     0.1)
+        np.testing.assert_allclose(np.asarray(got.val), np.asarray(want.val),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.weight),
+                                   np.asarray(want.weight), atol=1e-4)
+
+    def test_enable_gate_passthrough(self, monkeypatch):
+        from kangaroo_tpu import backend
+        from kangaroo_tpu.fusion import separable_pallas as sp
+        from jax.experimental import pallas as pl
+
+        K, vol, T_wc, gt, norm, W, H = _scene()
+        T_cw = se3.inverse(T_wc)
+        real_call = pl.pallas_call
+        monkeypatch.setenv("KANGAROO_PALLAS_FUSE", "1")
+        monkeypatch.setattr(backend, "on_tpu", lambda: True)
+        monkeypatch.setattr(
+            sp.pl, "pallas_call",
+            lambda *a, **k: real_call(*a, interpret=True, **k))
+        v1 = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        out = sep.sdf_fuse_separable(v1, gt, norm, T_cw, K, 0.15, 1000.0, 0.1,
+                                     enable=jnp.asarray(False))
+        np.testing.assert_array_equal(np.asarray(out.val), np.asarray(v1.val))
