@@ -43,6 +43,23 @@ def bench_sgm(iters=10):
     return 1.0 / _timeit(f, left, right, iters=iters)
 
 
+def bench_sgm_batched(iters=6, batch=4):
+    """Offline-throughput mode: vmap the whole SGM pipeline over a frame
+    batch on one chip (frames/second aggregate). The same code scales
+    across chips via parallel.batch.frame_parallel."""
+    import jax
+    import jax.numpy as jnp
+
+    from kangaroo_tpu.apps import stereo_sgm
+
+    cfg = stereo_sgm.SgmConfig(max_disp=64, census_window="16x16")
+    rng = np.random.default_rng(0)
+    left = jnp.asarray((rng.random((batch, 480, 640)) * 255).astype(np.uint8))
+    right = jnp.asarray((rng.random((batch, 480, 640)) * 255).astype(np.uint8))
+    f = jax.vmap(lambda l, r: stereo_sgm.sgm_pipeline(l, r, cfg))
+    return batch / _timeit(f, left, right, iters=iters)
+
+
 def bench_census_wta(iters=10):
     import jax.numpy as jnp
 
@@ -257,6 +274,7 @@ def main():
         configs["fuse_raycast_256_vga_ms"] = round(bench_fusion(), 2)
         configs["kinectfusion_frame_one_jit_ms"] = round(bench_kf_frame(), 2)
         configs["sgm_stereo_640x480_64disp_fps"] = round(fps, 2)
+        configs["sgm_stereo_batch4_fps"] = round(bench_sgm_batched(), 2)
     if args.all:
         for k, v in configs.items():
             print(f"{k}: {v}", file=sys.stderr)
