@@ -60,10 +60,31 @@ def _box_sum_and_area(ii, rad: int):
     return s, (ny[:, None] * nx[None, :]).astype(jnp.float32)
 
 
+def _window_area(H, W, rad: int):
+    y = jnp.arange(H)
+    x = jnp.arange(W)
+    ny = jnp.clip(y + rad, 0, H - 1) - jnp.clip(y - rad, 0, H - 1) + 1
+    nx = jnp.clip(x + rad, 0, W - 1) - jnp.clip(x - rad, 0, W - 1) + 1
+    return (ny[:, None] * nx[None, :]).astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("rad",))
 def box_filter(img, rad: int):
     """Mean over the window [x-rad, x+rad] x [y-rad, y+rad] clamped to the
-    image (BoxFilter, cu_integral_image.h:24-37)."""
+    image (BoxFilter, cu_integral_image.h:24-37).
+
+    Small radii sum directly with two separable reduce_windows (one native
+    TPU pass per axis); cumsum-based integral images cost O(log W) passes
+    per scan on TPU, which made the guided filter ~10x slower than
+    necessary at the radii the apps use. Large radii keep the
+    integral-image path (constant cost in rad)."""
+    H, W = img.shape
+    if rad <= 16:
+        f = img.astype(jnp.float32)
+        w = 2 * rad + 1
+        s = jax.lax.reduce_window(f, 0.0, jax.lax.add, (w, 1), (1, 1), "SAME")
+        s = jax.lax.reduce_window(s, 0.0, jax.lax.add, (1, w), (1, 1), "SAME")
+        return s / _window_area(H, W, rad)
     ii = jnp.pad(integral_image(img), ((1, 0), (1, 0)))
     s, area = _box_sum_and_area(ii, rad)
     return s / area
