@@ -54,13 +54,26 @@ def deconvolve(g, kernel, lam=10.0, sigma_q=0.2, sigma_p=0.2, tau=0.05,
     return u
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
 def inpaint(g, mask, lam=10.0, sigma=0.5, tau=0.25, alpha=0.002,
             iterations: int = 300):
     """TV inpainting: denoising with pixelwise lambda = lam * mask
     (InpaintingUsingDenoising example; uses the pixelwise-lambda primal
     descent overload, cu_rof_denoising.cu:177-205). mask is 1 where data is
-    trusted, 0 where it must be filled."""
+    trusted, 0 where it must be filled. On TPU the whole solve runs in the
+    VMEM-resident ROF kernel (pallas_solvers)."""
+    from .. import backend
+    from . import pallas_solvers as ps
+
+    if backend.use_pallas(ps.tileable(g.shape)):
+        return ps.rof_denoise(g, float(lam), float(sigma), float(tau),
+                              float(alpha), iterations, "huber",
+                              lam_weight=mask)
+    return _inpaint_xla(g, mask, lam, sigma, tau, alpha, iterations)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def _inpaint_xla(g, mask, lam=10.0, sigma=0.5, tau=0.25, alpha=0.002,
+                 iterations: int = 300):
     u0 = g
     p0 = jnp.zeros(g.shape + (2,), g.dtype)
     lamw = mask.astype(g.dtype)

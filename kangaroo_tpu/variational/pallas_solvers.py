@@ -52,8 +52,15 @@ def _div(px, py, row, col):
     return px - prev_x + py - prev_y
 
 
-def _make_rof_kernel(H, W, lam, sigma, tau, alpha, iterations, model):
-    def kernel(g_ref, out_ref):
+def _make_rof_kernel(H, W, lam, sigma, tau, alpha, iterations, model,
+                     with_lamw: bool):
+    def kernel(g_ref, *rest):
+        if with_lamw:
+            lamw_ref, out_ref = rest
+            lam_px = lam * lamw_ref[:]
+        else:
+            (out_ref,) = rest
+            lam_px = lam
         g = g_ref[:]
         row, col = _masks(H, W)
 
@@ -71,7 +78,7 @@ def _make_rof_kernel(H, W, lam, sigma, tau, alpha, iterations, model):
             p0 = n0 / den
             p1 = n1 / den
             divp = _div(p0, p1, row, col)
-            u = (u + tau * (divp + lam * g)) / (1.0 + tau * lam)
+            u = (u + tau * (divp + lam_px * g)) / (1.0 + tau * lam_px)
             return u, p0, p1
 
         zero = jnp.zeros((H, W), jnp.float32)
@@ -85,17 +92,24 @@ def _make_rof_kernel(H, W, lam, sigma, tau, alpha, iterations, model):
     jax.jit, static_argnames=("lam", "sigma", "tau", "alpha", "iterations",
                               "model"))
 def rof_denoise(g, lam, sigma=0.5, tau=0.25, alpha=0.002,
-                iterations: int = 100, model: str = "huber"):
-    """Whole ROF/Huber-ROF solve in one Pallas kernel, state in VMEM."""
+                iterations: int = 100, model: str = "huber",
+                lam_weight=None):
+    """Whole ROF/Huber-ROF solve in one Pallas kernel, state in VMEM.
+    ``lam_weight`` (H, W) makes the data weight pixelwise (lam * weight) —
+    the inpainting mode (cu_rof_denoising.cu:177-205)."""
     H, W = g.shape
     kernel = _make_rof_kernel(H, W, float(lam), float(sigma), float(tau),
-                              float(alpha), iterations, model)
+                              float(alpha), iterations, model,
+                              lam_weight is not None)
+    args = (g.astype(jnp.float32),)
+    if lam_weight is not None:
+        args = args + (lam_weight.astype(jnp.float32),)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(g.astype(jnp.float32))
+    )(*args)
 
 
 def _make_tgv_kernel(H, W, alpha0, alpha1, sigma, tau, delta, iterations):

@@ -61,3 +61,13 @@ def test_dispatch_falls_back_off_tpu(img):
     out = rof.denoise(img, 8.0, iterations=10)
     want = rof._denoise_xla(img, 8.0, iterations=10)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+
+def test_inpaint_matches_xla(img):
+    from kangaroo_tpu.variational import deconvolution as dec
+
+    mask = jnp.ones(img.shape, jnp.float32).at[20:28, 60:100].set(0.0)
+    want = np.asarray(dec._inpaint_xla(img, mask, iterations=40))
+    got = np.asarray(ps.rof_denoise(img, 10.0, iterations=40, model="huber",
+                                    lam_weight=mask))
+    np.testing.assert_allclose(got, want, atol=1e-5)
