@@ -71,8 +71,10 @@ class SweepGeom(NamedTuple):
 # (D, H, W) = [z, y, x] volume array into [k, j, i] layout.
 _ORDER = {0: (0, 1, 2), 1: (0, 2, 1), 2: (1, 2, 0)}
 
-# Depth sentinel for invalid pixels in the fuse warp: large enough that any
-# bilinear tap with weight >= ~1e-4 drives sd below every plausible -trunc.
+# Depth sentinel for invalid pixels in the fuse warp: any bilinear tap
+# with nonzero weight drives sd below every plausible -trunc (lerp weights
+# below 1e-6 snap to zero in _lerp_weight, so there is no tiny-weight band
+# where the sentinel corrupts without rejecting).
 _INVALID_DEPTH = -1e6
 _PERM = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}
 _INV_PERM = {0: (0, 1, 2), 1: (1, 0, 2), 2: (1, 2, 0)}
@@ -189,18 +191,28 @@ def _grid_uv(geom: SweepGeom, s, t):
     return u, v
 
 
+def _lerp_weight(d):
+    """Two-tap lerp weight with sub-1e-6 weights snapped to zero: against
+    the fuse's -1e6 invalid-depth sentinel, a tap weight in (0, 1e-7)
+    would corrupt the sample by up to ~trunc while still passing the
+    (sd > -trunc) gate; snapping costs <=1e-6 of interpolation accuracy
+    and removes the band entirely."""
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+    return jnp.where(w > 1e-6, w, 0.0)
+
+
 def _lerp_matrix(pos, n_in: int):
     """(len(pos), n_in) banded linear-interpolation matrix: row p has the
     two-tap lerp weights for sample position pos[p]; positions outside
     [0, n_in-1] get all-zero rows (-> validity 0)."""
     idx = jnp.arange(n_in, dtype=jnp.float32)[None, :]
-    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - idx))
+    return _lerp_weight(pos[:, None] - idx)
 
 
 def _lerp_matrix_batch(pos, n_in: int):
     """Batched _lerp_matrix: pos (P, M) -> (P, M, n_in)."""
     idx = jnp.arange(n_in, dtype=jnp.float32)[None, None, :]
-    return jnp.maximum(0.0, 1.0 - jnp.abs(pos[..., None] - idx))
+    return _lerp_weight(pos[..., None] - idx)
 
 
 # ---------------------------------------------------------------------------

@@ -74,11 +74,14 @@ def _make_fuse_kernel(P, Hv, Wv, grid_h, grid_w, Wi, Hi):
             off_s = k * g0
             off_t = k * g1
 
-            # lerp matrices from iota (rows: voxel index, cols: grid index)
+            # lerp matrices from iota (rows: voxel index, cols: grid
+            # index); sub-1e-6 weights snap to zero like separable._lerp_weight
             tj = ((jrow_h + off_t) / dsafe - t_lo) / dt       # (Hv, gh)
             Rk = jnp.maximum(0.0, 1.0 - jnp.abs(tj - gcol_h))
+            Rk = jnp.where(Rk > 1e-6, Rk, 0.0)
             si = ((irow_w + off_s) / dsafe - s_lo) / ds       # (Wv, gw)
             Ck = jnp.maximum(0.0, 1.0 - jnp.abs(si - gcol_w))
+            Ck = jnp.where(Ck > 1e-6, Ck, 0.0)
 
             # pass 1 contracts grid_h, pass 2 contracts grid_w — MXU dots
             tmp_md = jax.lax.dot_general(

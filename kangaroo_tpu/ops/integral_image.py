@@ -34,6 +34,14 @@ def integral_image(img):
     return jnp.cumsum(jnp.cumsum(img.astype(jnp.float32), axis=0), axis=1)
 
 
+def _window_area(H, W, rad: int):
+    y = jnp.arange(H)
+    x = jnp.arange(W)
+    ny = jnp.clip(y + rad, 0, H - 1) - jnp.clip(y - rad, 0, H - 1) + 1
+    nx = jnp.clip(x + rad, 0, W - 1) - jnp.clip(x - rad, 0, W - 1) + 1
+    return (ny[:, None] * nx[None, :]).astype(jnp.float32)
+
+
 def _box_sum_and_area(ii, rad: int):
     """Clamped-window 4-corner box sum from a (H+1, W+1) front-padded
     inclusive integral image, as edge-pads + pure slices: the natural
@@ -53,19 +61,7 @@ def _box_sum_and_area(ii, rad: int):
         return jnp.pad(m, ((0, 0), (0, rad)), mode="edge")[:, rad + 1:rad + 1 + W]
 
     s = cols_bc(rows_cd) + cols_ad(rows_ab) - cols_bc(rows_ab) - cols_ad(rows_cd)
-    y = jnp.arange(H)
-    x = jnp.arange(W)
-    ny = jnp.clip(y + rad, 0, H - 1) - jnp.clip(y - rad, 0, H - 1) + 1
-    nx = jnp.clip(x + rad, 0, W - 1) - jnp.clip(x - rad, 0, W - 1) + 1
-    return s, (ny[:, None] * nx[None, :]).astype(jnp.float32)
-
-
-def _window_area(H, W, rad: int):
-    y = jnp.arange(H)
-    x = jnp.arange(W)
-    ny = jnp.clip(y + rad, 0, H - 1) - jnp.clip(y - rad, 0, H - 1) + 1
-    nx = jnp.clip(x + rad, 0, W - 1) - jnp.clip(x - rad, 0, W - 1) + 1
-    return (ny[:, None] * nx[None, :]).astype(jnp.float32)
+    return s, _window_area(H, W, rad)
 
 
 @functools.partial(jax.jit, static_argnames=("rad",))
@@ -115,17 +111,20 @@ def covariance(P, I, mean_i, rad: int):
     return mean_ip - mean_i * mean_p, mean_ip, mean_p
 
 
+def _guided_with_stats(P, I, var_i, mean_i, rad: int, eps):
+    """Guided-filter P against guide I given precomputed guide stats."""
+    cov_ip, _, mean_p = covariance(P, I, mean_i, rad)
+    a = cov_ip / (var_i + eps)
+    b = mean_p - a * mean_i
+    return box_filter(a, rad) * I + box_filter(b, rad)
+
+
 @functools.partial(jax.jit, static_argnames=("rad",))
 def guided_filter(P, I, rad: int, eps):
     """Guided image filtering (He, Sun, Tang 2010; GuidedFilter,
     cu_integral_image.h:72-93): q = mean_a * I + mean_b."""
     var_i, _, mean_i = mean_variance(I, rad)
-    cov_ip, _, mean_p = covariance(P, I, mean_i, rad)
-    a = cov_ip / (var_i + eps)
-    b = mean_p - a * mean_i
-    mean_a = box_filter(a, rad)
-    mean_b = box_filter(b, rad)
-    return mean_a * I + mean_b
+    return _guided_with_stats(P, I, var_i, mean_i, rad, eps)
 
 
 def guided_filter_volume(vol, I, rad: int, eps):
@@ -134,11 +133,5 @@ def guided_filter_volume(vol, I, rad: int, eps):
     The guide statistics (mean_I, var_I) are shared by every slice and
     computed once, not per slice."""
     var_i, _, mean_i = mean_variance(I, rad)
-
-    def one(P):
-        cov_ip, _, mean_p = covariance(P, I, mean_i, rad)
-        a = cov_ip / (var_i + eps)
-        b = mean_p - a * mean_i
-        return box_filter(a, rad) * I + box_filter(b, rad)
-
-    return jax.vmap(one)(vol)
+    return jax.vmap(
+        lambda sl: _guided_with_stats(sl, I, var_i, mean_i, rad, eps))(vol)

@@ -101,6 +101,9 @@ def estimate_manhattan_rotation(img, K, R0=None, iterations: int = 10,
     for _ in range(iterations):
         s = manhattan_line_cost(img, R, K, cut, min_grad)
         dw = s.solve(damping=1e-6)
+        # zero classified edges -> singular system -> NaN from Cholesky;
+        # hold the rotation instead of poisoning it
+        dw = jnp.where(jnp.isfinite(dw), dw, 0.0)
         dR = se3_mod.exp(jnp.concatenate([jnp.zeros(3), -dw]))[:, :3]
         R = R @ dR
     return R

@@ -63,6 +63,9 @@ def fit_plane(points, Qinv, z0=None, iterations: int = 10, zmin=0.1,
     def body(_, z):
         s = plane_fit_gn(points, Qinv, z, zmin, zmax, c)
         x = -s.solve(damping=1e-9)
+        # a rank-deficient system (degenerate point set) yields NaN from
+        # the Cholesky solve — skip the step instead of poisoning z
+        x = jnp.where(jnp.isfinite(x), x, 0.0)
         nrm = jnp.linalg.norm(x)
         x = jnp.where(nrm > 1.0, x / nrm, x)
         return z * jnp.exp(x)

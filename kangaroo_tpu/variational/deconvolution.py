@@ -65,8 +65,7 @@ def inpaint(g, mask, lam=10.0, sigma=0.5, tau=0.25, alpha=0.002,
     from . import pallas_solvers as ps
 
     if backend.use_pallas(ps.tileable(g.shape)):
-        return ps.rof_denoise(g, float(lam), float(sigma), float(tau),
-                              float(alpha), iterations, "huber",
+        return ps.rof_denoise(g, lam, sigma, tau, alpha, iterations, "huber",
                               lam_weight=mask)
     return _inpaint_xla(g, mask, lam, sigma, tau, alpha, iterations)
 

@@ -52,9 +52,10 @@ def _div(px, py, row, col):
     return px - prev_x + py - prev_y
 
 
-def _make_rof_kernel(H, W, lam, sigma, tau, alpha, iterations, model,
-                     with_lamw: bool):
-    def kernel(g_ref, *rest):
+def _make_rof_kernel(H, W, iterations, model, with_lamw: bool):
+    def kernel(params_ref, g_ref, *rest):
+        lam, sigma, tau, alpha = (params_ref[0], params_ref[1],
+                                  params_ref[2], params_ref[3])
         if with_lamw:
             lamw_ref, out_ref = rest
             lam_px = lam * lamw_ref[:]
@@ -88,32 +89,38 @@ def _make_rof_kernel(H, W, lam, sigma, tau, alpha, iterations, model,
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("lam", "sigma", "tau", "alpha", "iterations",
-                              "model"))
+@functools.partial(jax.jit, static_argnames=("iterations", "model"))
 def rof_denoise(g, lam, sigma=0.5, tau=0.25, alpha=0.002,
                 iterations: int = 100, model: str = "huber",
                 lam_weight=None):
     """Whole ROF/Huber-ROF solve in one Pallas kernel, state in VMEM.
     ``lam_weight`` (H, W) makes the data weight pixelwise (lam * weight) —
-    the inpainting mode (cu_rof_denoising.cu:177-205)."""
+    the inpainting mode (cu_rof_denoising.cu:177-205). The solver
+    constants ride in an SMEM params vector (operands, not static), so
+    traced values jit fine and parameter sweeps reuse one compiled
+    kernel."""
     H, W = g.shape
-    kernel = _make_rof_kernel(H, W, float(lam), float(sigma), float(tau),
-                              float(alpha), iterations, model,
-                              lam_weight is not None)
-    args = (g.astype(jnp.float32),)
+    kernel = _make_rof_kernel(H, W, iterations, model, lam_weight is not None)
+    params = jnp.stack([
+        jnp.asarray(lam, jnp.float32), jnp.asarray(sigma, jnp.float32),
+        jnp.asarray(tau, jnp.float32), jnp.asarray(alpha, jnp.float32)])
+    args = (params, g.astype(jnp.float32))
     if lam_weight is not None:
         args = args + (lam_weight.astype(jnp.float32),)
     return pl.pallas_call(
         kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (len(args) - 1),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(*args)
 
 
-def _make_tgv_kernel(H, W, alpha0, alpha1, sigma, tau, delta, iterations):
-    def kernel(f_ref, out_ref):
+def _make_tgv_kernel(H, W, iterations):
+    def kernel(params_ref, f_ref, out_ref):
+        alpha0, alpha1 = params_ref[0], params_ref[1]
+        sigma, tau, delta = params_ref[2], params_ref[3], params_ref[4]
         f = f_ref[:]
         row, col = _masks(H, W)
 
@@ -157,21 +164,25 @@ def _make_tgv_kernel(H, W, alpha0, alpha1, sigma, tau, delta, iterations):
     return kernel
 
 
-@functools.partial(
-    jax.jit, static_argnames=("alpha0", "alpha1", "sigma", "tau", "delta",
-                              "iterations"))
+@functools.partial(jax.jit, static_argnames=("iterations",))
 def tgv_denoise(f, alpha0=2.0, alpha1=1.0, sigma=0.5, tau=0.25, delta=0.1,
                 iterations: int = 100):
-    """Whole TGV-L1 solve in one Pallas kernel, all 9 field planes in VMEM."""
+    """Whole TGV-L1 solve in one Pallas kernel, all 9 field planes in
+    VMEM; solver constants are SMEM operands (see rof_denoise)."""
     H, W = f.shape
-    kernel = _make_tgv_kernel(H, W, float(alpha0), float(alpha1), float(sigma),
-                              float(tau), float(delta), iterations)
+    kernel = _make_tgv_kernel(H, W, iterations)
+    params = jnp.stack([
+        jnp.asarray(alpha0, jnp.float32), jnp.asarray(alpha1, jnp.float32),
+        jnp.asarray(sigma, jnp.float32), jnp.asarray(tau, jnp.float32),
+        jnp.asarray(delta, jnp.float32)])
     return pl.pallas_call(
         kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(f.astype(jnp.float32))
+    )(params, f.astype(jnp.float32))
 
 
 def tileable(shape) -> bool:

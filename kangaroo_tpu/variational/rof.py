@@ -68,8 +68,7 @@ def denoise(g, lam, sigma=0.5, tau=0.25, alpha=0.002, iterations: int = 100,
     from . import pallas_solvers as ps
 
     if backend.use_pallas(ps.tileable(g.shape)):
-        return ps.rof_denoise(g, float(lam), float(sigma), float(tau),
-                              float(alpha), iterations, model)
+        return ps.rof_denoise(g, lam, sigma, tau, alpha, iterations, model)
     return _denoise_xla(g, lam, sigma, tau, alpha, iterations, model)
 
 

@@ -61,8 +61,7 @@ def denoise(f, alpha0=2.0, alpha1=1.0, sigma=0.5, tau=0.25, delta=0.1,
     from . import pallas_solvers as ps
 
     if backend.use_pallas(ps.tileable(f.shape)):
-        return ps.tgv_denoise(f, float(alpha0), float(alpha1), float(sigma),
-                              float(tau), float(delta), iterations)
+        return ps.tgv_denoise(f, alpha0, alpha1, sigma, tau, delta, iterations)
     return _denoise_xla(f, alpha0, alpha1, sigma, tau, delta, iterations)
 
 

@@ -5,6 +5,7 @@ sdf.sdf_fuse (bilinear) and raycast.raycast_sdf up to the documented
 sub-intermediate-pixel resampling tolerance, across translated AND rotated
 poses (the factorization must hold for general SE3, not just axis-aligned).
 """
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -270,6 +271,9 @@ class TestPallasFuse:
                                       0.1)
 
         real_call = pl.pallas_call
+        jax.clear_caches()  # the jitted fuse is cached from the un-patched
+        # call above; without this the patched (interpret) kernel is never
+        # traced and the test compares the cached XLA result to itself
         monkeypatch.setenv("KANGAROO_PALLAS_FUSE", "1")
         monkeypatch.setattr(backend, "on_tpu", lambda: True)
         monkeypatch.setattr(
@@ -290,6 +294,9 @@ class TestPallasFuse:
         K, vol, T_wc, gt, norm, W, H = _scene()
         T_cw = se3.inverse(T_wc)
         real_call = pl.pallas_call
+        jax.clear_caches()  # the jitted fuse is cached from the un-patched
+        # call above; without this the patched (interpret) kernel is never
+        # traced and the test compares the cached XLA result to itself
         monkeypatch.setenv("KANGAROO_PALLAS_FUSE", "1")
         monkeypatch.setattr(backend, "on_tpu", lambda: True)
         monkeypatch.setattr(
