@@ -60,7 +60,9 @@ def bench_sgm_batched(iters=6, batch=4):
     return batch / _timeit(f, left, right, iters=iters)
 
 
-def bench_census_wta(iters=10):
+def bench_census_wta(iters=200):
+    # the pipeline is ~0.1 ms after the lane-roll rewrite; the slope
+    # method needs many repetitions at that scale or it reports noise
     import jax.numpy as jnp
 
     from kangaroo_tpu.stereo import census as cm
