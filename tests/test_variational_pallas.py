@@ -71,3 +71,22 @@ def test_inpaint_matches_xla(img):
     got = np.asarray(ps.rof_denoise(img, 10.0, iterations=40, model="huber",
                                     lam_weight=mask))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_traced_params_jit(img):
+    # regression: the dispatchers must trace with non-static solver
+    # parameters (an outer jit sweeping lam), on both backends
+    @jax.jit
+    def sweep(x, lam):
+        return ps.rof_denoise(x, lam, iterations=5)
+
+    a = np.asarray(sweep(img, jnp.float32(3.0)))
+    b = np.asarray(sweep(img, jnp.float32(9.0)))
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert np.abs(a - b).max() > 1e-4  # lam is a real operand, not baked
+
+    @jax.jit
+    def sweep_tgv(x, a0):
+        return ps.tgv_denoise(x, alpha0=a0, iterations=5)
+
+    assert np.isfinite(np.asarray(sweep_tgv(img, jnp.float32(2.0)))).all()
