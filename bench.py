@@ -30,12 +30,13 @@ def _timeit(fn, *args, iters=10):
     return time_fn(fn, *args, iters=iters)
 
 
-def bench_sgm(iters=10):
+def bench_sgm(iters=10, do_diagonal=False):
     import jax.numpy as jnp
 
     from kangaroo_tpu.apps import stereo_sgm
 
-    cfg = stereo_sgm.SgmConfig(max_disp=64, census_window="16x16")
+    cfg = stereo_sgm.SgmConfig(max_disp=64, census_window="16x16",
+                               do_diagonal=do_diagonal)
     rng = np.random.default_rng(0)
     left = jnp.asarray((rng.random((480, 640)) * 255).astype(np.uint8))
     right = jnp.asarray((rng.random((480, 640)) * 255).astype(np.uint8))
@@ -277,6 +278,8 @@ def main():
         configs["kinectfusion_frame_one_jit_ms"] = round(bench_kf_frame(), 2)
         configs["sgm_stereo_640x480_64disp_fps"] = round(fps, 2)
         configs["sgm_stereo_batch4_fps"] = round(bench_sgm_batched(), 2)
+        # 8-path aggregation (4 diagonals beyond the reference's 4 paths)
+        configs["sgm_stereo_8path_fps"] = round(bench_sgm(do_diagonal=True), 2)
     if args.all:
         for k, v in configs.items():
             print(f"{k}: {v}", file=sys.stderr)
