@@ -29,7 +29,7 @@ def main():
     valid = jnp.asarray(rng.random((H, W)) > 0.1)
 
     f = lambda J, y, w, v: reduce_system(J, y, w, v).JTJ
-    dt = time_fn(f, J, y, w, valid, iters=30)
+    dt = time_fn(f, J, y, w, valid, iters=2000)
     n = H * W
     print(f"LSS<float,6> reduction over {n} obs: {1e3 * dt:.3f} ms "
           f"({n / dt / 1e9:.2f} Gobs/s)")
