@@ -776,21 +776,28 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
         all_asc = jnp.all(ascending)
         uniform = all_asc | jnp.all(~ascending)
 
-        def uniform_case(_):
-            flip = ~all_asc
-            pk = jnp.where(flip, packed[::-1], packed)
-            dn = jnp.where(flip, denom_all[::-1], denom_all)
-            osf = jnp.where(flip, offs_all[::-1], offs_all)
-            otf = jnp.where(flip, offt_all[::-1], offt_all)
+        def run_single(pk, dn, osf, otf):
             xs_u = (
                 pk.reshape(D // P, P, Hv, Wv),
                 dn.reshape(D // P, P),
                 osf.reshape(D // P, P),
                 otf.reshape(D // P, P),
             )
-            cs, _ = jax.lax.scan(planes_single, CarryS(zero, fal, zero, zero, fal),
-                                 xs_u)
+            cs, _ = jax.lax.scan(planes_single,
+                                 CarryS(zero, fal, zero, zero, fal), xs_u)
             return cs.depth, cs.found
+
+        def uniform_case(_):
+            # nested cond so the common ascending frame never materialises
+            # the reversed volume (a where-select here cost two volume
+            # passes every raycast)
+            return jax.lax.cond(
+                all_asc,
+                lambda _: run_single(packed, denom_all, offs_all, offt_all),
+                lambda _: run_single(packed[::-1], denom_all[::-1],
+                                     offs_all[::-1], offt_all[::-1]),
+                None,
+            )
 
         def mixed_case(_):
             c, _ = jax.lax.scan(planes, init, xs)
