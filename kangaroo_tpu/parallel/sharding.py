@@ -84,13 +84,19 @@ def sharded_census_wta(left_img, right_img, max_disp: int, mesh,
     """Cost-volume build + WTA with the disparity axis sharded.
 
     Census transforms are computed replicated (cheap); each shard scores its
-    disparity slab; the global WTA combines per-shard (min cost, argmin d)
-    pairs with a single tiny collective. Returns int32 disparity.
+    disparity slab with the single-chip lane-roll pattern (stereo/census.py:
+    per-disparity shifts are ``jnp.roll``s, never clipped fancy indexing —
+    a hidden lane gather on TPU) and keeps a running (min cost, argmin d)
+    pair in-register instead of materialising the slab; the global WTA is a
+    single tiny ``all_gather`` of the n per-shard minima. Shards own
+    disjoint ascending disparity ranges, so the first cross-shard minimum is
+    the smallest-d winner — matching ``cost_vol_minimum``'s argmin
+    tie-break exactly. Returns int32 disparity.
     """
     n = mesh.devices.size
     assert max_disp % n == 0, "max_disp must divide the mesh"
     d_per = max_disp // n
-    bits = census_mod.norm_bits(window)
+    inv_bits = 1.0 / census_mod.norm_bits(window)
 
     cl = census_mod.census(left_img, window)
     cr = census_mod.census(right_img, window)
@@ -99,29 +105,29 @@ def sharded_census_wta(left_img, right_img, max_disp: int, mesh,
         shard = jax.lax.axis_index(AXIS)
         d0 = shard * d_per
         H, W, K = cl_rep.shape
-        x = jnp.arange(W)
-        slabs = []
+        x = jnp.arange(W)[None, :]
+        # one dynamic-shift roll to the slab base (two dynamic slices), then
+        # static lane rolls per in-slab disparity
+        r_base = jnp.roll(cr_rep, d0, axis=1)
+        best_c = jnp.full((H, W), jnp.inf, jnp.float32)
+        best_d = jnp.full((H, W), 0, jnp.int32)
         for i in range(d_per):
             d = d0 + i
-            xd = x - d
-            ok = (xd >= 0) & (xd < W)
-            r = cr_rep[:, jnp.clip(xd, 0, W - 1), :]
-            ham = census_mod.hamming_distance(cl_rep, r).astype(jnp.float32) / bits
-            slabs.append(jnp.where(ok[None, :], ham, 0.5))
-        vol = jnp.stack(slabs, axis=0)  # (d_per, H, W)
-        dloc = jnp.arange(d_per)[:, None, None] + d0
-        masked = jnp.where(dloc <= x[None, None, :], vol, 1e10)
-        best_c = jnp.min(masked, axis=0)
-        best_d = jnp.argmin(masked, axis=0).astype(jnp.int32) + d0
-        # global argmin across shards: gather the n candidates, pick best
+            r = jnp.roll(r_base, i, axis=1)
+            ham = census_mod.hamming_distance(cl_rep, r).astype(jnp.float32)
+            # d <= x is the cost_vol_minimum lattice clip; it subsumes the
+            # x-d in-bounds mask, so wrapped lanes never win
+            cost = jnp.where(d <= x, ham * inv_bits, 1e10)
+            better = cost < best_c
+            best_c = jnp.where(better, cost, best_c)
+            best_d = jnp.where(better, d, best_d)
+        # global argmin across shards; argmin's first-occurrence tie-break
+        # over ascending shard order IS the smallest-d tie-break
         all_c = jax.lax.all_gather(best_c, AXIS)  # (n, H, W)
         all_d = jax.lax.all_gather(best_d, AXIS)
-        # ties resolve to the smallest d, matching the sequential scan
-        order = jnp.argsort(all_d, axis=0)
-        all_c = jnp.take_along_axis(all_c, order, axis=0)
-        all_d = jnp.take_along_axis(all_d, order, axis=0)
         win = jnp.argmin(all_c, axis=0)
-        return jnp.take_along_axis(all_d, win[None], axis=0)[0]
+        sel = jnp.arange(n)[:, None, None] == win[None]
+        return jnp.sum(jnp.where(sel, all_d, 0), axis=0)
 
     f = shard_map(local, mesh=mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False)
     return f(cl, cr)
@@ -355,22 +361,36 @@ def sharded_icp_point_plane(points_live, points_ref, normals_ref, KT_lr, T_rl,
 # --------------------------------------------------------------------------
 
 
-def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1):
-    """4-path SGM with image rows sharded across the mesh (SURVEY.md §5's
+def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
+                                 do_diagonal: bool = False):
+    """4/8-path SGM with image rows sharded across the mesh (SURVEY.md §5's
     "ring-attention analogue" for the SGM path axis).
 
     Horizontal paths live entirely inside a row shard and run locally in
     parallel (n-way speedup). Vertical paths are sequential along the image:
     the scan carry (prev path costs, running best, last intensity) rides a
     ppermute wavefront — shard k continues where shard k-1 stopped, exactly
-    reproducing the single-device recurrence. vol is (D, H, W) with H
-    sharded; returns the aggregated (D, H, W) volume (H sharded).
+    reproducing the single-device recurrence. The vertical wavefront is
+    column-block pipelined; widths that don't divide the mesh are padded to
+    the next block multiple (dead masked lanes, cropped after the loop) so
+    the pipeline never silently serializes.
+
+    With ``do_diagonal`` the four diagonal paths of the 8-path extension
+    (stereo/sgm.py ``_scan_diagonal``) also ride the wavefront: the two
+    down-diagonals continue across shards on the forward permute, the two
+    up-diagonals on the reverse. Diagonal paths drift one column per row, so
+    they process the full width per shard step (no column-block pipelining)
+    — cost is one extra sequential wavefront overlapped with the pipelined
+    vertical one.
+
+    vol is (D, H, W) with H sharded; returns the aggregated (D, H, W)
+    volume (H sharded).
     """
     from ..stereo import sgm as sgm_mod
 
     D, H, W = vol.shape
     n = mesh.devices.size
-    assert H % n == 0
+    assert H % n == 0, "image rows must divide the mesh"
     mask_mode_left = sd < 0
 
     def local(v_blk, img_blk):
@@ -401,9 +421,18 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1):
         # shard k processes block (t - k) at step t and passes only that
         # block's carry downstream. With nb = nsh blocks, both directions
         # finish in (2*nsh - 1) block-steps instead of 2*nsh full-shard
-        # scans: an ~nsh-fold latency reduction at scale.
-        nb = nsh if W % nsh == 0 else 1   # column blocks
-        Wc = W // nb
+        # scans: an ~nsh-fold latency reduction at scale. Columns are
+        # padded (masked dead lanes) so every width pipelines.
+        nb = n
+        Wp = -(-W // nb) * nb
+        Wc = Wp // nb
+        pad = Wp - W
+        if pad:
+            vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+            ip = jnp.pad(img_blk, ((0, 0), (0, pad)))
+            mp = jnp.pad(dmask, ((0, 0), (0, pad), (0, 0)))  # False pad
+        else:
+            vp, ip, mp = v, img_blk, dmask
         Hs_ = v.shape[0]
 
         def init_carry():
@@ -447,14 +476,53 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1):
                 res, jnp.where(active, lr, old_blk), (0, col0, 0))
             return res, new_c
 
-        vvr, iir, mmr = v[::-1], img_blk[::-1], dmask[::-1]
+        vvr, iir, mmr = vp[::-1], ip[::-1], mp[::-1]
         permf = [(i, (i + 1) % nsh) for i in range(nsh)]
         permr = [(i, (i - 1) % nsh) for i in range(nsh)]
         steps = nsh + nb - 1
 
+        # ---- diagonal wavefronts (8-path mode): full-width scans, one
+        # active shard per direction per step. _scan_diagonal handles fresh
+        # starts per-step via its has_prev mask, so the zero init IS the
+        # seed carry and seed==continue.
+        def diag_init():
+            return (
+                jnp.full((W, D), 1e30, jnp.float32),
+                jnp.zeros((W,), jnp.float32),
+                jnp.zeros((W,), jnp.float32),
+                jnp.zeros((W,), bool),
+            )
+
+        def diag_step(res, carry, vv, ii, mm, active):
+            def run(c):
+                lr, fin = sgm_mod._scan_diagonal(
+                    vv, ii, mm, P1, P2, dx=1, carry_in=c, return_carry=True)
+                return lr, fin
+
+            def skip(c):
+                return jnp.zeros((Hs_, W, D), v.dtype), c
+
+            lr, new_c = jax.lax.cond(active, run, skip, carry)
+            res = jnp.where(active, lr, res)
+            return res, new_c
+
+        # the four diagonals: (flip_y, flip_x). flip_x is purely local
+        # (columns are not sharded); flip_y reverses both local rows and the
+        # shard order (seed at the last shard, carry on the reverse permute).
+        diag_arrays = []
+        if do_diagonal:
+            for flip_y in (False, True):
+                for flip_x in (False, True):
+                    vv = v[::-1] if flip_y else v
+                    ii = img_blk[::-1] if flip_y else img_blk
+                    mm = dmask[::-1] if flip_y else dmask
+                    if flip_x:
+                        vv, ii, mm = vv[:, ::-1], ii[:, ::-1], mm[:, ::-1]
+                    diag_arrays.append((vv, ii, mm, flip_y, flip_x))
+
         def loop_body(t, state):
-            res_f, res_r, cf, cr = state
-            res_f, cf = pipe_step(res_f, cf, v, img_blk, dmask,
+            res_f, res_r, cf, cr, dres, dcar = state
+            res_f, cf = pipe_step(res_f, cf, vp, ip, mp,
                                   t - idx, idx == 0)
             res_r, cr = pipe_step(res_r, cr, vvr, iir, mmr,
                                   t - (nsh - 1 - idx), idx == nsh - 1)
@@ -462,13 +530,30 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1):
             # body uniform so it traces/compiles once
             cf = tuple(jax.lax.ppermute(x, AXIS, permf) for x in cf)
             cr = tuple(jax.lax.ppermute(x, AXIS, permr) for x in cr)
-            return res_f, res_r, cf, cr
+            dres2, dcar2 = [], []
+            for (vv, ii, mm, flip_y, _), r0, c0 in zip(diag_arrays, dres, dcar):
+                active = (t == (nsh - 1 - idx)) if flip_y else (t == idx)
+                r1, c1 = diag_step(r0, c0, vv, ii, mm, active)
+                perm = permr if flip_y else permf
+                c1 = tuple(jax.lax.ppermute(y, AXIS, perm) for y in c1)
+                dres2.append(r1)
+                dcar2.append(c1)
+            return res_f, res_r, cf, cr, tuple(dres2), tuple(dcar2)
 
-        res_f, res_r, _, _ = jax.lax.fori_loop(
+        res_f, res_r, _, _, dres, _ = jax.lax.fori_loop(
             0, steps, loop_body,
-            (jnp.zeros_like(v), jnp.zeros_like(v), init_carry(), init_carry()),
+            (jnp.zeros((Hs_, Wp, D), v.dtype), jnp.zeros((Hs_, Wp, D), v.dtype),
+             init_carry(), init_carry(),
+             tuple(jnp.zeros_like(v) for _ in diag_arrays),
+             tuple(diag_init() for _ in diag_arrays)),
         )
-        out = out + res_f + res_r[::-1]
+        out = out + res_f[:, :W] + res_r[::-1][:, :W]
+        for (_, _, _, flip_y, flip_x), r in zip(diag_arrays, dres):
+            if flip_x:
+                r = r[:, ::-1]
+            if flip_y:
+                r = r[::-1]
+            out = out + r
         return jnp.moveaxis(out, -1, 0)
 
     f = shard_map(

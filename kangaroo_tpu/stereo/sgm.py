@@ -102,13 +102,21 @@ def _scan_direction(vol, img, dmask, P1, P2, reverse: bool, carry_in=None,
     return lr
 
 
-def _scan_diagonal(vol, img, dmask, P1, P2, dx: int):
+def _scan_diagonal(vol, img, dmask, P1, P2, dx: int, carry_in=None,
+                   return_carry: bool = False):
     """Diagonal path aggregation: scan rows top-to-bottom with the carry
     shifted ``dx`` columns per row, so pixel (x, y) continues the path from
     (x-dx, y-1). Columns whose predecessor falls outside the image become
     fresh path starts mid-scan (Lr = C, best = 0 — the same start semantics
     as the straight paths). Callers flip arrays for the other three
-    diagonals. vol is (L, N, D)."""
+    diagonals. vol is (L, N, D).
+
+    ``carry_in`` continues the scan across a sharded row axis (the
+    multi-chip wavefront): a (prev_lr, last_best, last_c, has_prev) tuple
+    from the upstream shard. Unlike ``_scan_direction`` there is no separate
+    seed path — fresh starts are handled per-step by the ``has_prev`` mask,
+    so the default init (has_prev all-False) IS the seed carry. With
+    ``return_carry`` the final carry is also returned."""
     L, N, D = vol.shape
 
     def shift1(a, fill):
@@ -119,12 +127,15 @@ def _scan_diagonal(vol, img, dmask, P1, P2, dx: int):
             edge = edge[:, None]
         return jnp.where(edge, fill, rolled)
 
-    init = (
-        jnp.full((N, D), _MAX_ERROR, vol.dtype),  # prev Lr
-        jnp.zeros((N,), vol.dtype),  # lastBest
-        jnp.zeros((N,), vol.dtype),  # last intensity
-        jnp.zeros((N,), bool),  # has predecessor
-    )
+    if carry_in is None:
+        init = (
+            jnp.full((N, D), _MAX_ERROR, vol.dtype),  # prev Lr
+            jnp.zeros((N,), vol.dtype),  # lastBest
+            jnp.zeros((N,), vol.dtype),  # last intensity
+            jnp.zeros((N,), bool),  # has predecessor
+        )
+    else:
+        init = carry_in
 
     def step(carry, inputs):
         prev, best, last_c, has_prev = carry
@@ -144,7 +155,9 @@ def _scan_diagonal(vol, img, dmask, P1, P2, dx: int):
         out = jnp.where(mask, cr, 0.0)
         return (cr, best_new, c, jnp.ones((N,), bool)), out
 
-    _, lr = jax.lax.scan(step, init, (img, vol, dmask))
+    final, lr = jax.lax.scan(step, init, (img, vol, dmask))
+    if return_carry:
+        return lr, final
     return lr
 
 
