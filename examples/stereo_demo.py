@@ -21,7 +21,8 @@ def main():
     ap.add_argument("--width", type=int, default=320)
     ap.add_argument("--height", type=int, default=240)
     ap.add_argument("--maxdisp", type=int, default=32)
-    ap.add_argument("--mode", choices=["sgm", "dtam", "wta"], default="sgm")
+    ap.add_argument("--mode", choices=["sgm", "dtam", "wta", "multiview"],
+                    default="sgm")
     ap.add_argument("--baseline", type=float, default=0.1)
     ap.add_argument("--rig", type=str, default=None,
                     help="JSON camera-rig file (io/rig.py schema): intrinsics "
@@ -42,6 +43,26 @@ def main():
     if args.mode == "sgm":
         cfg = stereo_sgm.SgmConfig(max_disp=args.maxdisp, census_window="9x7")
         disp = stereo_sgm.sgm_pipeline(left, right, cfg)
+    elif args.mode == "multiview":
+        # the stereo2 COSTVOL_TIME loop: anchor a keyframe, CostVolumeAdd a
+        # posed synthetic camera track, DTAM-solve the accumulated volume
+        from kangaroo_tpu.core import se3
+
+        key, gt, track = synthetic.multiview_track(
+            args.width, args.height, args.maxdisp, baseline=args.baseline)
+        K = Intrinsics.centered(args.width * 0.9, args.width, args.height)
+        mvs = stereo_app.MultiViewStereo(
+            K, args.baseline,
+            stereo_app.StereoConfig(max_disp=args.maxdisp,
+                                    census_window="9x7",
+                                    dtam_iterations=50))
+        mvs.reset(key.astype(jnp.float32), se3.identity())
+        for img, T_wc in track:
+            mvs.add(img.astype(jnp.float32), T_wc)
+        print(f"multiview: accumulated {len(track)} posed views "
+              f"(max n = {float(jnp.max(mvs.n)):.0f})")
+        disp = mvs.solve(use_dtam=True)
+        left = key
     else:
         cfg = stereo_app.StereoConfig(max_disp=args.maxdisp, census_window="9x7",
                                       dtam_iterations=50)

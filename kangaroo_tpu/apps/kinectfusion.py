@@ -57,6 +57,12 @@ class KinectFusionConfig:
     max_rmse: float = 0.10  # ui.Max RMSE
     near: float = 0.1  # knear
     far: float = 4.0  # kfar
+    # fuse only planes inside the [knear, kfar] frustum — the reference's
+    # per-frame ROI crop (main.cpp:345-357 BoundingBox(T_wl, w, h, K, knear,
+    # kfar) -> vol.SubBoundingVolume(roi)). The separable engine always
+    # clips bit-equally to the camera-visible+depth-bounded plane window;
+    # this flag adds the explicit near/far crop on top.
+    fuse_roi: bool = True
     motion_prior: float = 0.1 / 0.2  # depthSigma/motionSigma (main.cpp:315-318)
     depth_scale: float = 1.0  # 1/1000 for mm inputs
     # Compute engine for fuse + raycast:
@@ -246,6 +252,8 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
         fused = separable.sdf_fuse_separable(
             vol, kin_v[0][..., 2], kin_n[0], T_lw, K, trunc_dist,
             cfg.max_w, cfg.min_cos_theta, enable=good | first,
+            near=cfg.near if cfg.fuse_roi else None,
+            far=cfg.far if cfg.fuse_roi else None,
         )
         return fused.val, fused.weight, T_new, rmse
 
@@ -393,6 +401,8 @@ class KinectFusion:
                 self.vol = separable.sdf_fuse_separable(
                     self.vol, kin_v[0][..., 2], kin_n[0], T_lw, self.K,
                     self.trunc_dist, cfg.max_w, cfg.min_cos_theta,
+                    near=cfg.near if cfg.fuse_roi else None,
+                    far=cfg.far if cfg.fuse_roi else None,
                 )
             else:
                 self.vol = sdf_mod.sdf_fuse(

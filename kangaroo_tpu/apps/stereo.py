@@ -131,6 +131,67 @@ def stereo_pipeline(left, right, cfg: StereoConfig = StereoConfig(),
     return postprocess(disp_l, disp_r, cfg)
 
 
+class MultiViewStereo:
+    """Multi-frame cost-volume accumulation driver (stereo2/main.cpp:462-486,
+    the COSTVOL_TIME mode): anchor a keyframe, project every posed frame into
+    its running-mean CostVolElem volume with ``cost_volume_add``
+    (cu_dense_stereo.cu:693-731), then extract disparity with WTA or the
+    DTAM alternation. Poses are (3, 4) T_wc camera-to-world.
+    """
+
+    def __init__(self, K, baseline: float, cfg: StereoConfig = StereoConfig(),
+                 rad: int = 1):
+        self.K = K
+        self.baseline = float(baseline)
+        self.cfg = cfg
+        self.rad = rad
+        self.n = self.s = None
+        self.img_v = None
+        self.T_wv = None
+
+    def reset(self, img_v, T_wv, right=None):
+        """Anchor a new keyframe: ``costvol_reset`` zeroes the accumulator;
+        with ``right`` given it seeds from the stereo pair instead
+        (``costvol_reset_stereo``, main.cpp:466-477)."""
+        H, W = img_v.shape
+        self.img_v = img_v
+        self.T_wv = jnp.asarray(T_wv)
+        if right is None:
+            self.n, self.s = cv.cost_volume_zero(self.cfg.max_disp, H, W)
+        else:
+            self.n, self.s = cv.cost_volume_from_stereo(
+                img_v, right, self.cfg.max_disp, sd=-1, rad=2)
+
+    def add(self, img_c, T_wc):
+        """Accumulate one posed frame (``costvol_add``, main.cpp:478-481:
+        KT_lv = Kl * (T_wc^-1 * T_wv))."""
+        assert self.img_v is not None, "reset() a keyframe first"
+        from ..core import se3
+
+        T_cv = se3.compose(se3.inverse(jnp.asarray(T_wc)), self.T_wv)
+        KT_cv = jnp.asarray(self.K.matrix()) @ T_cv
+        self.n, self.s = cv.cost_volume_add(
+            self.n, self.s, self.img_v, img_c, KT_cv, self.K, self.baseline,
+            rad=self.rad)
+        return self.n, self.s
+
+    def solve(self, use_dtam: bool = True):
+        """Extract disparity from the accumulated volume (the reference's
+        CostVolMinimum extraction at main.cpp:484; DTAM regularisation on
+        the multiview volume is the stereo/main.cpp:354-383 alternation)."""
+        vol = cv.cost_elem_to_float(self.n, self.s)
+        # normalise to the DTAM solver's expected cost scale: the SAD sums
+        # are in [0, 255]-intensity units over the patch
+        vol = jnp.clip(vol / 255.0, 0.0, 1e6)
+        if use_dtam:
+            cfg = self.cfg
+            return dtam_solve(
+                vol, self.img_v, cfg.lam, cfg.theta_start, cfg.sigma_q,
+                cfg.sigma_d, cfg.huber_alpha, cfg.beta, cfg.g_alpha,
+                cfg.g_beta, iterations=cfg.dtam_iterations)
+        return fast.cost_vol_minimum_subpix(vol, -1)
+
+
 def depth_and_cloud(disp, K, baseline, min_disp=16.0):
     """Disp2Depth + DisparityImageToVbo (main.cpp:384-419)."""
     depth = depth_mod.disp_to_depth(disp, K.fu, baseline, min_disp)

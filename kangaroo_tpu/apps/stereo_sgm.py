@@ -1,9 +1,11 @@
-"""SGM stereo pipeline.
+"""SGM stereo pipeline + the stereo2 app tail.
 
-TPU-native re-implementation of applications/stereo2/main.cpp:374-436: census
-volumes (both directions for the LR check) -> 4-path semi-global matching ->
-WTA + subpixel -> median / LR-check -> optional plane fit and heightmap
-fusion. Var defaults from stereo2/main.cpp:240-261.
+TPU-native re-implementation of applications/stereo2/main.cpp:374-536:
+census volumes (both directions for the LR check) -> 4-path semi-global
+matching -> WTA + subpixel -> median / LR-check (``sgm_pipeline``), then the
+app tail (``Stereo2App``): DisparityImageToVbo, the iterated PlaneFitGN
+ground-plane estimate (main.cpp:505-519) and HeightmapFusion
+(main.cpp:182-194, 524-536). Var defaults from stereo2/main.cpp:240-261.
 """
 from __future__ import annotations
 
@@ -104,3 +106,94 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
         disp_l = fast.left_right_check(disp_l, disp_r, -1, cfg.max_disp_diff,
                                        max_disp=cfg.max_disp)
     return disp_l
+
+
+class Stereo2App:
+    """Stateful stereo2 driver: SGM disparity + the app tail
+    (stereo2/main.cpp:374-536).
+
+    Per frame: ``sgm_pipeline`` -> DisparityImageToVbo (main.cpp:503) ->
+    5 PlaneFitGN Gauss-Newton steps continuing the persistent plane estimate
+    (main.cpp:505-519; the first frame runs the reference's resetPlane
+    105-step schedule) -> HeightmapFusion of the world-frame cloud
+    (main.cpp:532-536). The heightmap grid pose is initialised from the
+    first fitted plane exactly like resetPlane: T_nw =
+    PlaneBasis_wp(n_c)^-1 * T_wc^-1 with the grid centre offset
+    (main.cpp:524-528).
+    """
+
+    def __init__(self, K, baseline: float, cfg: SgmConfig = SgmConfig(),
+                 plane_fit: bool = True, heightmap: bool = True,
+                 hm_size=(10.0, 10.0), hm_cell: float = 0.1,
+                 min_disp: float = 1.0, plane_c: float = 0.5,
+                 plane_within: float = 20.0):
+        from ..geometry.heightmap import HeightmapFusion
+
+        self.K = K
+        self.baseline = float(baseline)
+        self.cfg = cfg
+        self.do_plane = plane_fit
+        self.do_heightmap = heightmap
+        self.min_disp = min_disp
+        self.plane_c = plane_c          # ui.Plane c (main.cpp:267)
+        self.plane_within = plane_within  # ui.Plane Within (main.cpp:266)
+        self.z = None            # persistent plane parameters (ui z state)
+        self.n_c = None          # camera-frame plane normal, n . P = -1
+        self.Qinv = None
+        self.hm = HeightmapFusion(hm_size[0], hm_size[1], hm_cell) \
+            if heightmap else None
+        self._hm_init = False
+
+    def _fit_plane(self, d3d, iterations: int):
+        from ..solvers import plane_fit as pf
+
+        if self.Qinv is None:
+            H, W = d3d.shape[:2]
+            self.Qinv = pf.make_q_inv(self.K, W, H)
+        self.n_c, self.z = pf.fit_plane(
+            d3d, self.Qinv, z0=self.z, iterations=iterations,
+            zmax=self.plane_within, c=self.plane_c)
+
+    def __call__(self, left, right, T_wc=None, image=None):
+        """Process one rectified frame; returns (disp, d3d, heightmap-state).
+
+        ``T_wc`` is the camera pose feeding the heightmap (main.cpp tracks
+        it from Vicon/file; defaults to identity); ``image`` optionally
+        colours the heightmap cells.
+        """
+        from ..core import se3
+        from ..geometry import depth as depth_mod
+        from ..solvers.plane_fit import plane_basis_wp
+
+        if T_wc is None:
+            T_wc = jnp.asarray(se3.identity())
+        disp = sgm_pipeline(left, right, self.cfg)
+        d3d = depth_mod.depth_from_disparity_vbo(
+            disp, self.K, self.baseline, min_disp=self.min_disp)
+        if self.do_plane:
+            first = self.z is None
+            # resetPlane runs 100+5 iterations, steady state 5 (main.cpp:508)
+            self._fit_plane(d3d, 105 if first else 5)
+        if self.do_heightmap:
+            if not self._hm_init:
+                if self.n_c is not None:
+                    import numpy as np
+
+                    # reference: T_nw = PlaneBasis_wp(n_c)^-1 * T_wc^-1
+                    # = (T_wc * T_cp)^-1  (main.cpp:525)
+                    T_wp = se3.compose(jnp.asarray(T_wc),
+                                       plane_basis_wp(self.n_c))
+                    T_nw = np.array(se3.inverse(T_wp))
+                    # centre the grid like main.cpp:527 (center_y = false)
+                    T_nw[0, 3] += self.hm.w * self.hm.cell_size / 2
+                    T_nw[1, 3] += self.hm.h * self.hm.cell_size
+                    self.hm = type(self.hm)(
+                        self.hm.w * self.hm.cell_size,
+                        self.hm.h * self.hm.cell_size,
+                        self.hm.cell_size, T_hw=T_nw)
+                self._hm_init = True
+            pts_w = jnp.concatenate(
+                [se3.transform(jnp.asarray(T_wc), d3d[..., :3]),
+                 d3d[..., 3:4]], axis=-1)
+            self.hm.fuse(pts_w, image)
+        return disp, d3d

@@ -76,3 +76,45 @@ def stereo_pair(w: int = 640, h: int = 480, max_disp: int = 64, seed: int = 0):
         jnp.asarray(right),
         jnp.asarray(disp.astype(np.float32)),
     )
+
+
+def multiview_track(w: int = 320, h: int = 240, max_disp: int = 32,
+                    fractions=(0.5, 0.75, 1.0), baseline: float = 0.1,
+                    seed: int = 0):
+    """Posed lateral camera track over the stereo_pair scene, for the
+    multiview cost-volume accumulation driver (stereo2/main.cpp:462-486).
+
+    The keyframe is the ``stereo_pair`` left image at the identity pose; the
+    view at fraction f sits at x = f*baseline and sees the scene with
+    disparity f*d relative to the keyframe (f=1 is exactly the right
+    image). Returns (keyframe, gt_disp, [(img_f, T_wc_f), ...]). Views are
+    exact where (1-f)*d is integral and locally constant (away from the
+    box edges), like the base pair.
+    """
+    from ..core import se3
+
+    rng = np.random.default_rng(seed)
+    tex = rng.random((h, w + max_disp)).astype(np.float32)
+    k = np.ones(7, np.float32) / 7.0
+    for axis in (0, 1):
+        tex = np.apply_along_axis(lambda m: np.convolve(m, k, mode="same"), axis, tex)
+    tex = tex + 0.35 * rng.random((h, w + max_disp)).astype(np.float32)
+    tex = (255 * (tex - tex.min()) / (tex.max() - tex.min())).astype(np.uint8)
+
+    disp = np.full((h, w), max_disp // 4, np.int32)
+    bw, bh = w // 3, h // 3
+    disp[bh : 2 * bh, bw : 2 * bw] = (3 * max_disp) // 4
+
+    rows = np.arange(h)[:, None]
+
+    def view(f):
+        shift = np.rint((1.0 - f) * disp).astype(np.int64)
+        xs = np.clip(np.arange(w)[None, :] + max_disp - shift, 0, w + max_disp - 1)
+        return jnp.asarray(tex[rows, xs])
+
+    keyframe = view(0.0)  # the stereo_pair left image
+    track = [
+        (view(f), jnp.asarray(se3.make(np.eye(3), [f * baseline, 0.0, 0.0])))
+        for f in fractions
+    ]
+    return keyframe, jnp.asarray(disp.astype(np.float32)), track

@@ -11,10 +11,32 @@ layout on TPU.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from .bbox import BoundingBox
+
+
+def _sub_index_box(bbox: BoundingBox, w: int, h: int, d: int,
+                   roi: BoundingBox):
+    """Integer voxel index box (inclusive lo, exclusive hi per axis, xyz
+    order) covering ``roi`` ∩ ``bbox``, voxel-aligned outward — the index
+    arithmetic of BoundedVolume::SubBoundingVolume (BoundedVolume.h:138-152).
+    Host-side: indices are concrete so the sub-array has a static shape."""
+    n = np.array([w - 1, h - 1, d - 1], np.float64)
+    blo = np.asarray(bbox.lo, np.float64)
+    step = (np.asarray(bbox.hi, np.float64) - blo) / n
+    lo_w = np.maximum(np.asarray(roi.lo, np.float64), blo)
+    hi_w = np.minimum(np.asarray(roi.hi, np.float64), np.asarray(bbox.hi, np.float64))
+    if np.any(hi_w < lo_w):
+        raise ValueError("roi does not intersect the volume bounds")
+    ilo = np.clip(np.floor((lo_w - blo) / step).astype(np.int64), 0, n.astype(np.int64))
+    ihi = np.clip(np.ceil((hi_w - blo) / step).astype(np.int64), 0, n.astype(np.int64))
+    ihi = np.maximum(ihi, ilo + 1)  # at least two planes so trilinear works
+    sub_bbox = BoundingBox.create(blo + ilo * step, blo + ihi * step)
+    return ilo, ihi, sub_bbox
 
 
 def _trilinear_gather(data, pf):
@@ -143,6 +165,26 @@ class BoundedVolume:
         """y-slice (Volume::ImageXZ, Volume.h:316)."""
         return self.data[:, y, :]
 
+    # --- sub-volumes (BoundedVolume::SubBoundingVolume, BoundedVolume.h:138)
+    def sub_volume(self, roi: BoundingBox):
+        """Voxel-aligned sub-volume covering ``roi`` ∩ bounds, plus its
+        (z, y, x) index origin in the parent. The reference returns a
+        memory-aliasing device view; JAX arrays are immutable, so the
+        origin + :meth:`with_sub_volume` write a processed sub-volume back.
+        Host-side API (concrete indices → one static shape per distinct
+        ROI); the jit-native per-frame frustum crop is
+        ``sdf_fuse_separable(clip_planes=True)``'s dynamic plane window."""
+        ilo, ihi, sub_bbox = _sub_index_box(self.bbox, self.w, self.h, self.d, roi)
+        (x0, y0, z0), (x1, y1, z1) = ilo, ihi
+        return (BoundedVolume(self.data[z0:z1 + 1, y0:y1 + 1, x0:x1 + 1], sub_bbox),
+                (int(z0), int(y0), int(x0)))
+
+    def with_sub_volume(self, sub: "BoundedVolume", origin) -> "BoundedVolume":
+        """Write ``sub``'s data back at ``origin`` (the write-back half of
+        the reference's aliasing SubBoundingVolume view)."""
+        return BoundedVolume(
+            jax.lax.dynamic_update_slice(self.data, sub.data, origin), self.bbox)
+
 
 @struct.dataclass
 class TsdfVolume:
@@ -198,3 +240,22 @@ class TsdfVolume:
 
     def grad_backward_world(self, pos_w):
         return self.as_bounded().grad_backward_world(pos_w)
+
+    def sub_volume(self, roi: BoundingBox):
+        """Voxel-aligned TSDF sub-volume covering ``roi`` ∩ bounds + its
+        (z, y, x) origin — SubBoundingVolume for the fusion volume (the
+        reference fuses ``vol.SubBoundingVolume(BoundingBox(T_wl, w, h, K,
+        knear, kfar))`` each frame, kinectfusion/main.cpp:345-357). Pair
+        with :meth:`with_sub_volume` to write the fused block back."""
+        ilo, ihi, sub_bbox = _sub_index_box(self.bbox, self.w, self.h, self.d, roi)
+        (x0, y0, z0), (x1, y1, z1) = ilo, ihi
+        return (TsdfVolume(self.val[z0:z1 + 1, y0:y1 + 1, x0:x1 + 1],
+                           self.weight[z0:z1 + 1, y0:y1 + 1, x0:x1 + 1],
+                           sub_bbox),
+                (int(z0), int(y0), int(x0)))
+
+    def with_sub_volume(self, sub: "TsdfVolume", origin) -> "TsdfVolume":
+        return TsdfVolume(
+            jax.lax.dynamic_update_slice(self.val, sub.val, origin),
+            jax.lax.dynamic_update_slice(self.weight, sub.weight, origin),
+            self.bbox)

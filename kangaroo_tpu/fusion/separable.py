@@ -126,6 +126,34 @@ def _image_preimage_range(Ainv, Wi, Hi, axis: int):
     return lo, hi
 
 
+def _plane_intervals(Ainv, g, n_i, n_j, Wi, Hi, D: int):
+    """Per-plane (s, t) footprint intervals — S_k(voxel rect) clipped to the
+    image preimage under A — and the per-plane emptiness flag. A plane with
+    an empty clipped interval on either axis has NO voxel projecting into
+    the image: the frustum-visibility predicate behind both the grid window
+    (make_sweep_geom) and the dynamic plane window (frustum-ROI fusion, the
+    reference's SubBoundingVolume crop, kinectfusion/main.cpp:345-357)."""
+    k = jnp.arange(D, dtype=jnp.float32)
+    denom, off_s, off_t = _plane_scales(g, k)
+    ok = jnp.abs(denom) > 1e-6
+    safe = jnp.where(ok, denom, 1.0)
+
+    def axis_iv(n_idx, off, img_axis):
+        a = off / safe
+        b = (n_idx - 1.0 + off) / safe
+        lo_k = jnp.minimum(a, b)
+        hi_k = jnp.maximum(a, b)
+        img_lo, img_hi = _image_preimage_range(Ainv, Wi, Hi, img_axis)
+        lo_k = jnp.maximum(lo_k, img_lo)
+        hi_k = jnp.minimum(hi_k, img_hi)
+        empty = (~ok) | (lo_k > hi_k)
+        return lo_k, hi_k, empty
+
+    s_lo_k, s_hi_k, s_empty = axis_iv(n_i, off_s, 0)
+    t_lo_k, t_hi_k, t_empty = axis_iv(n_j, off_t, 1)
+    return (s_lo_k, s_hi_k, s_empty), (t_lo_k, t_hi_k, t_empty)
+
+
 def make_sweep_geom(vol: TsdfVolume, T_cw, K, Wi: int, Hi: int,
                     grid_w: int, grid_h: int, from_planes: bool = True,
                     order=(0, 1, 2)) -> SweepGeom:
@@ -139,20 +167,10 @@ def make_sweep_geom(vol: TsdfVolume, T_cw, K, Wi: int, Hi: int,
     counts = vol.val.shape[::-1]  # voxel counts along world (x, y, z)
     n_i, n_j, D = counts[order[0]], counts[order[1]], counts[order[2]]
 
-    k = jnp.arange(D, dtype=jnp.float32)
-    denom, off_s, off_t = _plane_scales(g, k)
-    ok = jnp.abs(denom) > 1e-6
-    safe = jnp.where(ok, denom, 1.0)
+    (s_lo_k, s_hi_k, s_empty), (t_lo_k, t_hi_k, t_empty) = _plane_intervals(
+        Ainv, g, n_i, n_j, Wi, Hi, D)
 
-    def axis_range(n_idx, off, img_axis):
-        a = off / safe
-        b = (n_idx - 1.0 + off) / safe
-        lo_k = jnp.minimum(a, b)
-        hi_k = jnp.maximum(a, b)
-        img_lo, img_hi = _image_preimage_range(Ainv, Wi, Hi, img_axis)
-        lo_k = jnp.maximum(lo_k, img_lo)
-        hi_k = jnp.minimum(hi_k, img_hi)
-        empty = (~ok) | (lo_k > hi_k)
+    def axis_range(n_idx, lo_k, hi_k, empty):
         lo = jnp.min(jnp.where(empty, jnp.inf, lo_k))
         hi = jnp.max(jnp.where(empty, -jnp.inf, hi_k))
         # all planes empty (frame misses the volume): any finite window
@@ -165,8 +183,8 @@ def make_sweep_geom(vol: TsdfVolume, T_cw, K, Wi: int, Hi: int,
     # image preimage — correct for both fuse (plane samples) and raycast
     # (pixels outside it miss every plane)
     del from_planes
-    s_lo, s_hi = axis_range(n_i, off_s, 0)
-    t_lo, t_hi = axis_range(n_j, off_t, 1)
+    s_lo, s_hi = axis_range(n_i, s_lo_k, s_hi_k, s_empty)
+    t_lo, t_hi = axis_range(n_j, t_lo_k, t_hi_k, t_empty)
     ds = (s_hi - s_lo) / (grid_w - 1)
     dt = (t_hi - t_lo) / (grid_h - 1)
     return SweepGeom(A, Ainv, e, g, s_lo, ds, t_lo, dt)
@@ -220,6 +238,56 @@ def _lerp_matrix_batch(pos, n_in: int):
 # ---------------------------------------------------------------------------
 
 
+def _visible_planes(geom: SweepGeom, depth, valid_img, D: int, n_i: int,
+                    n_j: int, Wi: int, Hi: int, trunc_dist, mincostheta,
+                    near=None, far=None):
+    """Per-plane visibility mask of the frustum-clipped fuse (see the window
+    comment in _sdf_fuse_axis): footprint emptiness + the bit-equal
+    measured-depth bound + the optional near/far ROI crop."""
+    A, g = geom.A, geom.g
+    (s_lo_k, s_hi_k, s_empty), (t_lo_k, t_hi_k, t_empty) = _plane_intervals(
+        geom.Ainv, g, n_i, n_j, Wi, Hi, D)
+    ksf = jnp.arange(D, dtype=jnp.float32)
+    denom_k = 1.0 + ksf * g[2]
+    qz_c = jnp.stack([
+        denom_k * (A[2, 0] * sc + A[2, 1] * tc + A[2, 2])
+        for sc in (s_lo_k, s_hi_k) for tc in (t_lo_k, t_hi_k)
+    ])  # (4, D): qz is linear over the footprint rect -> corner extremes
+    qz_ok = jnp.all(jnp.isfinite(qz_c), axis=0)
+    qz_min = jnp.min(qz_c, axis=0)
+    qz_max = jnp.max(qz_c, axis=0)
+    dmax = jnp.max(jnp.where(valid_img, depth, -jnp.inf))
+    far_bound = jnp.maximum(dmax, 0.0) + trunc_dist / mincostheta
+    visible = ~(s_empty | t_empty) & ~(qz_ok & (qz_min > far_bound))
+    if near is not None:
+        visible &= ~(qz_ok & (qz_max < near))
+    if far is not None:
+        visible &= ~(qz_ok & (qz_min > far))
+    return visible
+
+
+def fuse_plane_window(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
+                      mincostheta=0.1, sweep_axis: int = 0, near=None,
+                      far=None, grid_w: int | None = None,
+                      grid_h: int | None = None):
+    """Diagnostic: the (D,) visible-plane mask the frustum-clipped fuse will
+    sweep for this frame (sdf_fuse_separable ``clip_planes``). Useful for
+    tests and for profiling how the ROI window tracks the camera."""
+    order, perm = _ORDER[sweep_axis], _PERM[sweep_axis]
+    Hi, Wi = depth.shape
+    grid_w = grid_w or Wi
+    grid_h = grid_h or Hi
+    val_p = vol.val.transpose(perm)
+    D, Hv, Wv = val_p.shape
+    geom = make_sweep_geom(vol, T_cw, K, Wi, Hi, grid_w, grid_h, order=order)
+    ray = jnp.asarray(K.unproject_grid(Wi, Hi))
+    ct_img = (jnp.sum(normals[..., :3] * ray, axis=-1)
+              / -jnp.linalg.norm(ray, axis=-1))
+    valid_img = jnp.isfinite(depth) & jnp.isfinite(ct_img)
+    return _visible_planes(geom, depth, valid_img, D, Wv, Hv, Wi, Hi,
+                           trunc_dist, mincostheta, near, far)
+
+
 def _blend(old_val, old_w, new_sd, w_new, max_w):
     """SDF_t::operator+= then LimitWeight (Sdf.h:25-32), first-observation
     guard as in sdf.sdf_fuse. Voxels with no update (w_new == 0) pass
@@ -243,14 +311,16 @@ def _view_axis_index(T_cw):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid_w", "grid_h", "warp", "sweep_axis"))
+    jax.jit,
+    static_argnames=("grid_w", "grid_h", "warp", "sweep_axis", "clip_planes"))
 def sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
                        max_w=1000.0, mincostheta=0.1,
                        grid_w: int | None = None,
                        grid_h: int | None = None,
                        warp: str = "nearest",
                        sweep_axis: int | str = "auto",
-                       enable=None) -> TsdfVolume:
+                       enable=None, clip_planes: bool = True,
+                       near=None, far=None) -> TsdfVolume:
     """SdfFuse (cu_sdffusion.cu:16-61) with zero per-voxel gathers.
 
     One warp of the (depth, costheta, valid) image onto the intermediate
@@ -266,6 +336,16 @@ def sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
     plane loop: when False the volume passes through unchanged. Callers
     that would otherwise jnp.where-select full volumes afterwards (the
     frame step's tracking gate) save two volume-sized selects.
+
+    ``clip_planes`` (default on) restricts the sweep to the dynamic window
+    of camera-visible planes — the reference's frustum-ROI crop
+    (kinectfusion/main.cpp:345-357, BoundedVolume.h:138): fuse cost scales
+    with the visible slab fraction, bit-equal to the full sweep (footprint
+    + measured-depth criteria; see the window comment in _sdf_fuse_axis).
+    ``near``/``far`` additionally crop planes outside that camera-depth
+    interval — the reference app's knear/kfar ROI sliders
+    (kinectfusion/main.cpp:86-87, 345), a semantic crop like the
+    reference's, NOT bit-equal to the uncropped fuse.
     """
     if sweep_axis == "auto":
         idx = _view_axis_index(T_cw)
@@ -273,17 +353,21 @@ def sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
             idx,
             [lambda _, a=a: _sdf_fuse_axis(
                 vol, depth, normals, T_cw, K, trunc_dist, max_w, mincostheta,
-                grid_w, grid_h, warp, a, enable=enable) for a in (0, 1, 2)],
+                grid_w, grid_h, warp, a, enable=enable,
+                clip_planes=clip_planes, near=near, far=far)
+             for a in (0, 1, 2)],
             None,
         )
     return _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
                           mincostheta, grid_w, grid_h, warp, sweep_axis,
-                          enable=enable)
+                          enable=enable, clip_planes=clip_planes,
+                          near=near, far=far)
 
 
 def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
                    mincostheta, grid_w, grid_h, warp, axis: int,
-                   color=None, img=None, T_iw=None, K_img=None, enable=None):
+                   color=None, img=None, T_iw=None, K_img=None, enable=None,
+                   clip_planes: bool = True, near=None, far=None):
     order, perm, inv_perm = _ORDER[axis], _PERM[axis], _INV_PERM[axis]
     Hi, Wi = depth.shape
     grid_w = grid_w or Wi
@@ -394,8 +478,7 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
 
     Gm = G.reshape(grid_h, grid_w * 2)
 
-    def planes(carry, xs):
-        old_val, old_w, old_col, denom, off_s, off_t, dn2, os2, ot2 = xs
+    def batch_update(old_val, old_w, old_col, denom, off_s, off_t, dn2, os2, ot2):
         plane_ok = jnp.abs(denom) > 1e-6
         dsafe = jnp.where(plane_ok, denom, 1.0)
         s_of_i = (iv[None, :] + off_s[:, None]) / dsafe[:, None]  # (P, Wv)
@@ -478,40 +561,74 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
             )
         else:
             colour = old_col
-        return carry, (val, w_tot, colour)
+        return val, w_tot, colour
 
     col_in = color_p if color_p is not None else jnp.zeros((D, 1, 1), jnp.float32)
-    xs = (
-        val_p.reshape(D // P, P, Hv, Wv),
-        wgt_p.reshape(D // P, P, Hv, Wv),
-        col_in.reshape(D // P, P, *col_in.shape[1:]),
-        denom_all.reshape(D // P, P),
-        offs_all.reshape(D // P, P),
-        offt_all.reshape(D // P, P),
-        denom2_all.reshape(D // P, P),
-        offs2_all.reshape(D // P, P),
-        offt2_all.reshape(D // P, P),
-    )
-    _, (val, weight, colour) = jax.lax.scan(planes, None, xs)
+
+    def batch_body(b, state):
+        val_f, w_f, col_f = state
+        k0 = b * P
+        old_val = jax.lax.dynamic_slice(val_f, (k0, 0, 0), (P, Hv, Wv))
+        old_w = jax.lax.dynamic_slice(w_f, (k0, 0, 0), (P, Hv, Wv))
+        old_col = jax.lax.dynamic_slice(
+            col_f, (k0, 0, 0), (P,) + col_f.shape[1:])
+        args = tuple(
+            jax.lax.dynamic_slice(a, (k0,), (P,))
+            for a in (denom_all, offs_all, offt_all,
+                      denom2_all, offs2_all, offt2_all))
+        val, w_tot, colour = batch_update(old_val, old_w, old_col, *args)
+        val_f = jax.lax.dynamic_update_slice(val_f, val, (k0, 0, 0))
+        w_f = jax.lax.dynamic_update_slice(w_f, w_tot, (k0, 0, 0))
+        if color_p is not None:
+            col_f = jax.lax.dynamic_update_slice(col_f, colour, (k0, 0, 0))
+        return val_f, w_f, col_f
+
+    # Frustum plane window (the reference's per-frame ROI crop:
+    # kinectfusion/main.cpp:345-357 builds BoundingBox(T_wl, w, h, K, knear,
+    # kfar) and fuses vol.SubBoundingVolume(roi) only). The batch loop runs
+    # ONLY the visible plane batches, so fuse cost scales with the visible
+    # slab fraction. Two bit-equal criteria (skipped planes provably have
+    # all-false update masks) plus the reference's explicit near/far crop:
+    #
+    #  1. footprint: a plane whose (s, t) interval clipped to the image
+    #     preimage is empty has no voxel projecting into the image;
+    #  2. depth: the update gate sd > -trunc means qz < md + trunc/ct
+    #     <= max(valid depth) + trunc/mincostheta — planes whose NEAREST
+    #     footprint depth exceeds that bound can never update. qz =
+    #     denom_k * h2(s, t) is linear over the footprint rect, so its
+    #     range comes from the four corners.
+    #  3. (opt-in, NOT bit-equal — it is the reference app's knear/kfar ROI
+    #     semantics) planes entirely outside [near, far] camera depth.
+    if clip_planes:
+        visible = _visible_planes(geom, depth, valid_img, D, Wv, Hv, Wi, Hi,
+                                  trunc_dist, mincostheta, near, far)
+        any_vis = jnp.any(visible)
+        k_lo = jnp.argmax(visible).astype(jnp.int32)
+        k_hi = (D - 1 - jnp.argmax(visible[::-1])).astype(jnp.int32)
+        b_lo = jnp.where(any_vis, k_lo // P, 0)
+        b_hi = jnp.where(any_vis, k_hi // P + 1, 0)
+    else:
+        b_lo, b_hi = 0, D // P
+    val, weight, colour = jax.lax.fori_loop(
+        b_lo, b_hi, batch_body, (val_p, wgt_p, col_in))
     out_vol = TsdfVolume(
-        val.reshape(D, Hv, Wv).transpose(inv_perm),
-        weight.reshape(D, Hv, Wv).transpose(inv_perm),
-        vol.bbox,
-    )
+        val.transpose(inv_perm), weight.transpose(inv_perm), vol.bbox)
     if color_p is None:
         return out_vol
-    return out_vol, colour.reshape(D, Hv, Wv).transpose(inv_perm)
+    return out_vol, colour.transpose(inv_perm)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid_w", "grid_h", "warp", "sweep_axis"))
+    jax.jit,
+    static_argnames=("grid_w", "grid_h", "warp", "sweep_axis", "clip_planes"))
 def sdf_fuse_color_separable(vol: TsdfVolume, color_vol, depth, normals,
                              T_cw, K, img, T_iw, K_img, trunc_dist,
                              max_w=1000.0, mincostheta=0.1,
                              grid_w: int | None = None,
                              grid_h: int | None = None,
                              warp: str = "nearest",
-                             sweep_axis: int | str = "auto"):
+                             sweep_axis: int | str = "auto",
+                             clip_planes: bool = True):
     """Colour-fusing SdfFuse (cu_sdffusion.cu:70-138) on the plane-sweep
     engine: the colour camera gets its own shear-scale-warp factorization
     over the same voxel planes, so the grey sample is two more banded
@@ -524,7 +641,7 @@ def sdf_fuse_color_separable(vol: TsdfVolume, color_vol, depth, normals,
         out = _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist,
                              max_w, mincostheta, grid_w, grid_h, warp, a,
                              color=color_vol.data, img=img, T_iw=T_iw,
-                             K_img=K_img)
+                             K_img=K_img, clip_planes=clip_planes)
         v, col = out
         return v, BoundedVolume(col, color_vol.bbox)
 

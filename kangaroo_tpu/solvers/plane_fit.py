@@ -72,3 +72,25 @@ def fit_plane(points, Qinv, z0=None, iterations: int = 10, zmin=0.1,
 
     z = jax.lax.fori_loop(0, iterations, body, z)
     return Qinv @ z, z
+
+
+def plane_basis_wp(n):
+    """(3, 4) SE3 pose of the fitted plane: origin at the plane point
+    closest to the frame origin (the plane is n . P = -1, so that point is
+    -n/|n|^2), z axis along the plane normal, x/y any orthonormal tangent
+    pair (deterministic Gram-Schmidt against the smallest normal
+    component). Role of ``PlaneBasis_wp`` in stereo2/main.cpp:525,601 —
+    the symbol itself lives in the external SceneGraph dependency, so the
+    tangent-axis convention here is our own (any orthonormal pair spans
+    the same heightmap plane)."""
+    n = jnp.asarray(n, jnp.float32)
+    nn = jnp.dot(n, n)
+    z_axis = n / jnp.sqrt(jnp.maximum(nn, 1e-20))
+    # pick the world axis least aligned with the normal as the seed
+    seed = jnp.eye(3, dtype=jnp.float32)[jnp.argmin(jnp.abs(z_axis))]
+    x_axis = seed - jnp.dot(seed, z_axis) * z_axis
+    x_axis = x_axis / jnp.maximum(jnp.linalg.norm(x_axis), 1e-20)
+    y_axis = jnp.cross(z_axis, x_axis)
+    R = jnp.stack([x_axis, y_axis, z_axis], axis=1)
+    origin = -n / jnp.maximum(nn, 1e-20)
+    return jnp.concatenate([R, origin[:, None]], axis=1)

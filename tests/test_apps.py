@@ -240,3 +240,89 @@ class TestKinectFusionApp:
         assert len(tris) > 0
         pipe.save_volume(str(tmp_path / "save.vol"))
         pipe.load_volume(str(tmp_path / "save.vol"))
+
+
+class TestStereo2Tail:
+    """The stereo2 app tail: disparity -> vbo -> PlaneFitGN -> heightmap
+    fusion (stereo2/main.cpp:503-536) composed end-to-end."""
+
+    def test_plane_fit_and_heightmap(self):
+        W, H, D = 128, 96, 32
+        left, right, gt = synthetic.stereo_pair(W, H, D, seed=1)
+        K = kt.Intrinsics.centered(100.0, W, H)
+        # background disp D//4 = 8 -> depth fu*b/8 = 5.0, inside the Tukey
+        # basin of the reference's initial plane z = 1/5 (main.cpp:132);
+        # the box at depth 1.67 is the outlier the robust fit must reject
+        baseline = 0.4
+        app = stereo_sgm.Stereo2App(
+            K, baseline,
+            stereo_sgm.SgmConfig(max_disp=D, census_window="9x7"),
+            hm_size=(8.0, 8.0), hm_cell=0.1, min_disp=1.0)
+        disp, d3d = app(left, right)
+        n = np.asarray(app.n_c)
+        z_plane = -1.0 / n[2]
+        assert abs(z_plane - 5.0) < 0.3, n
+        assert abs(n[0]) < 0.05 and abs(n[1]) < 0.05
+        # heightmap initialised from the plane and fused real cells
+        vbo, img = app.hm.world_vbo()
+        finite = np.isfinite(np.asarray(vbo)[..., 2])
+        assert finite.sum() > 50
+        # fused heights sit near the plane (height ~0 in plane frame):
+        # cells hit by background points dominate
+        heights = np.asarray(app.hm.hm[..., 0])
+        counts = np.asarray(app.hm.hm[..., 1])
+        hit = counts > 0
+        med = np.median(np.abs(heights[hit] / counts[hit]))
+        assert med < 0.2
+        # second frame: persistent plane state keeps refining without reset
+        z_before = np.asarray(app.z).copy()
+        app(left, right)
+        assert app.z is not None and np.all(np.isfinite(np.asarray(app.z)))
+        assert np.allclose(np.asarray(app.z), z_before, rtol=0.2)
+
+
+class TestMultiViewStereo:
+    """CostVolElem accumulation driver (stereo2/main.cpp:462-486): a posed
+    two-view sequence through cost_volume_add reproduces stereo matching."""
+
+    def test_accumulated_volume_recovers_disparity(self):
+        W, H, D = 96, 64, 16
+        left, right, gt = synthetic.stereo_pair(W, H, D, seed=2)
+        K = kt.Intrinsics.centered(100.0, W, H)
+        b = 0.3
+        mvs = stereo_app.MultiViewStereo(K, b, stereo_app.StereoConfig(
+            max_disp=D, dtam_iterations=20))
+        mvs.reset(left.astype(jnp.float32), se3.identity())
+        # contributing camera sits at +baseline along x in the keyframe
+        # frame — exactly the rectified-stereo geometry
+        T_wc = se3.make(np.eye(3), [b, 0.0, 0.0])
+        n1, _ = mvs.add(right.astype(jnp.float32), T_wc)
+        disp = np.asarray(mvs.solve(use_dtam=False))
+        g = np.asarray(gt)
+        m = np.isfinite(disp) & (np.arange(W)[None, :] >= D)
+        err = np.abs(disp[m] - g[m])
+        assert np.median(err) < 0.75
+        assert (err < 1.5).mean() > 0.8
+        # adding the same view again only deepens the running mean: the
+        # CostVolElem (n, sum) semantics keep the extracted cost identical
+        n2, s2 = mvs.add(right.astype(jnp.float32), T_wc)
+        assert float(jnp.max(n2)) == 2 * float(jnp.max(n1))
+        disp2 = np.asarray(mvs.solve(use_dtam=False))
+        np.testing.assert_allclose(disp2[m], disp[m], atol=1e-4)
+
+    def test_stereo_seed_and_dtam_solve(self):
+        W, H, D = 96, 64, 16
+        left, right, gt = synthetic.stereo_pair(W, H, D, seed=3)
+        K = kt.Intrinsics.centered(100.0, W, H)
+        b = 0.3
+        mvs = stereo_app.MultiViewStereo(K, b, stereo_app.StereoConfig(
+            max_disp=D, dtam_iterations=30))
+        # costvol_reset_stereo: seed the accumulator from the pair itself
+        mvs.reset(left.astype(jnp.float32), se3.identity(),
+                  right=right.astype(jnp.float32))
+        assert float(jnp.max(mvs.n)) >= 1.0
+        mvs.add(right.astype(jnp.float32), se3.make(np.eye(3), [b, 0.0, 0.0]))
+        disp = np.asarray(mvs.solve(use_dtam=True))
+        g = np.asarray(gt)
+        m = np.isfinite(disp) & (np.arange(W)[None, :] >= D)
+        assert np.median(np.abs(disp[m] - g[m])) < 1.0

@@ -306,3 +306,101 @@ class TestPallasFuse:
         out = sep.sdf_fuse_separable(v1, gt, norm, T_cw, K, 0.15, 1000.0, 0.1,
                                      enable=jnp.asarray(False))
         np.testing.assert_array_equal(np.asarray(out.val), np.asarray(v1.val))
+
+
+class TestClipPlanes:
+    """Frustum-ROI plane window (the reference's per-frame SubBoundingVolume
+    crop, kinectfusion/main.cpp:345-357): bit-equal to the full sweep, and
+    the window genuinely shrinks when the camera sees a near wall."""
+
+    @pytest.mark.parametrize("angles", POSES)
+    def test_bit_equal_full_sweep(self, angles):
+        K, vol, T_wc, gt, norm, W, H = _scene(angles)
+        T_cw = se3.inverse(T_wc)
+        full = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0,
+                                      0.1, clip_planes=False)
+        clip = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0,
+                                      0.1, clip_planes=True)
+        np.testing.assert_array_equal(np.asarray(full.val), np.asarray(clip.val))
+        np.testing.assert_array_equal(np.asarray(full.weight),
+                                      np.asarray(clip.weight))
+
+    def _wall_scene(self):
+        W, H = 64, 48
+        K = kt.Intrinsics.centered(55.0, W, H)
+        bbox = kt.BoundingBox.create((-1.2, -1.2, -1.2), (1.2, 1.2, 1.2))
+        vol = kt.TsdfVolume.create(48, 40, 64, bbox, trunc_dist=0.15)
+        T_wc = se3.make(np.eye(3), [0.0, 0.0, -3.0])
+        depth = jnp.full((H, W), 2.0)  # flat wall at world z = -1.0
+        norm = jnp.broadcast_to(
+            jnp.array([0.0, 0.0, -1.0, 1.0], jnp.float32), (H, W, 4))
+        return K, vol, jnp.asarray(T_wc), depth, norm
+
+    def test_depth_bound_shrinks_window(self):
+        K, vol, T_wc, depth, norm = self._wall_scene()
+        T_cw = se3.inverse(T_wc)
+        visible = np.asarray(sep.fuse_plane_window(
+            vol, depth, norm, T_cw, K, 0.15, 0.1, sweep_axis=0))
+        D = vol.d
+        # far bound = dmax + trunc/minct = 2.0 + 1.5 = 3.5 camera depth
+        # -> world z > 0.5 skipped: >25% of the 64 planes
+        assert visible.sum() <= 0.78 * D
+        assert visible[: D // 2].all()  # near planes all stay
+        # and the clipped fuse is still bit-equal
+        full = sep.sdf_fuse_separable(vol, depth, norm, T_cw, K, 0.15,
+                                      1000.0, 0.1, clip_planes=False,
+                                      sweep_axis=0)
+        clip = sep.sdf_fuse_separable(vol, depth, norm, T_cw, K, 0.15,
+                                      1000.0, 0.1, clip_planes=True,
+                                      sweep_axis=0)
+        np.testing.assert_array_equal(np.asarray(full.val), np.asarray(clip.val))
+        np.testing.assert_array_equal(np.asarray(full.weight),
+                                      np.asarray(clip.weight))
+
+    def test_near_far_roi_crop(self):
+        # the knear/kfar semantic crop: planes outside [near, far] camera
+        # depth pass through untouched; planes inside match the full fuse
+        K, vol, T_wc, depth, norm = self._wall_scene()
+        T_cw = se3.inverse(T_wc)
+        full = sep.sdf_fuse_separable(vol, depth, norm, T_cw, K, 0.15,
+                                      1000.0, 0.1, clip_planes=False,
+                                      sweep_axis=0)
+        crop = sep.sdf_fuse_separable(vol, depth, norm, T_cw, K, 0.15,
+                                      1000.0, 0.1, clip_planes=True,
+                                      sweep_axis=0, near=1.95, far=2.6)
+        # camera depth of plane k: 1.8 + 2.4*k/63; inside [1.95, 2.6]
+        # (with batch granularity P=8) everything matches the full fuse
+        zc = 1.8 + 2.4 * np.arange(vol.d) / (vol.d - 1)
+        inside = (zc >= 1.95) & (zc <= 2.6)
+        fv, cv = np.asarray(full.val), np.asarray(crop.val)
+        np.testing.assert_array_equal(cv[inside], fv[inside])
+        # fully-outside batches are untouched (== the reset state)
+        v0 = np.asarray(vol.val)
+        batch = 8
+        touched = np.zeros(vol.d, bool)
+        vis = (zc >= 1.95 - 2.4 / 63) & (zc <= 2.6)  # window granularity
+        kk = np.where(vis)[0]
+        touched[(kk.min() // batch) * batch:(kk.max() // batch + 1) * batch] = True
+        np.testing.assert_array_equal(cv[~touched], v0[~touched])
+
+    def test_sub_volume_roundtrip_fuse(self):
+        # SubBoundingVolume parity: fuse a frustum sub-volume with the exact
+        # engine and write it back; inside the block it matches the full fuse
+        K, vol, T_wc, gt, norm, W, H = _scene()
+        T_cw = se3.inverse(T_wc)
+        full = sdf_mod.sdf_fuse(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        from kangaroo_tpu.containers.bbox import fit_to_frustum
+
+        roi = fit_to_frustum(K, W, H, np.asarray(T_wc), 1.8, 3.2)
+        sub, org = vol.sub_volume(roi)
+        fused = sdf_mod.sdf_fuse(sub, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        back = vol.with_sub_volume(fused, org)
+        z0, y0, x0 = org
+        sl = np.s_[z0:z0 + sub.d, y0:y0 + sub.h, x0:x0 + sub.w]
+        np.testing.assert_allclose(np.asarray(back.val)[sl],
+                                   np.asarray(full.val)[sl], atol=2e-4)
+        # outside the block nothing was written
+        mask = np.ones(vol.val.shape, bool)
+        mask[sl] = False
+        np.testing.assert_array_equal(np.asarray(back.val)[mask],
+                                      np.asarray(vol.val)[mask])
