@@ -91,7 +91,27 @@ def bench_filters(iters=40):
     img = jnp.asarray(rng.random((480, 640)).astype(np.float32))
     g = lambda x: blur.gaussian_blur(x, 2.0, rad=10)
     b = lambda x: bilateral.bilateral(x, 2.0, 0.1, 5)
-    return 1e3 * _timeit(g, img, iters=iters), 1e3 * _timeit(b, img, iters=iters)
+    # the blur is ~30 us: the slope method needs hundreds of repetitions
+    # at that scale or it reports 0.0 (VERDICT r2 weak #4)
+    g_ms = 1e3 * _timeit(g, img, iters=max(iters, 400))
+    return g_ms, 1e3 * _timeit(b, img, iters=iters)
+
+
+def bench_dtam(iters=10):
+    """DTAM variational stereo frame (apps/stereo.py): census volume + 50
+    Huber-ROF/auxiliary-search iterations + median/LR post-filters,
+    640x480, 64 disparities."""
+    import jax.numpy as jnp
+
+    from kangaroo_tpu.apps import stereo as stereo_app
+
+    cfg = stereo_app.StereoConfig(max_disp=64, census_window="16x16",
+                                  dtam_iterations=50)
+    rng = np.random.default_rng(0)
+    left = jnp.asarray((rng.random((480, 640)) * 255).astype(np.uint8))
+    right = jnp.asarray((rng.random((480, 640)) * 255).astype(np.uint8))
+    f = lambda l, r: stereo_app.stereo_pipeline(l, r, cfg, use_dtam=True)
+    return 1e3 * _timeit(f, left, right, iters=iters)
 
 
 def bench_variational(iters=20):
@@ -251,6 +271,58 @@ def pallas_parity_check():
     return "ok"
 
 
+def update_perf_headline(fps, configs, path=None):
+    """Rewrite docs/PERF.md's headline table between the BENCH sentinels
+    from THIS run's numbers, so every doc headline traces to the same
+    measurements that land in BENCH_r{N}.json (VERDICT r2 weak #5/#6)."""
+    path = path or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "docs", "PERF.md")
+    try:
+        text = open(path).read()
+    except OSError:
+        return
+    begin, end = "<!-- BENCH:BEGIN", "<!-- BENCH:END -->"
+    i = text.find(begin)
+    j = text.find(end)
+    if i < 0 or j < 0:
+        return
+    i = text.index("-->", i) + 3
+
+    def fps_row(f):
+        return f"**{f:.1f} fps ({1e3 / f:.2f} ms)**"
+
+    rows = [
+        "| Benchmark | Target | This framework | vs target |",
+        "|---|---|---|---|",
+        f"| 640x480, 64-disp census SGM stereo (4-path SGM, WTA subpix, "
+        f"median both, LR-check both ways) | > 30 fps | {fps_row(fps)} "
+        f"| **{fps / 30.0:.1f}x** |",
+    ]
+    if "sgm_stereo_8path_fps" in configs:
+        f8 = configs["sgm_stereo_8path_fps"]
+        rows.append(f"| same pipeline with 8-path SGM (diagonals on) | — | "
+                    f"{fps_row(f8)} | {f8 / 30.0:.1f}x |")
+    if "fuse_raycast_256_vga_ms" in configs:
+        ms = configs["fuse_raycast_256_vga_ms"]
+        rows.append(f"| KinectFusion fuse+raycast, 256^3 volume, 640x480 | "
+                    f"< 15 ms | **{ms:.2f} ms** | **{15.0 / ms:.1f}x** |")
+    if "kinectfusion_frame_one_jit_ms" in configs:
+        ms = configs["kinectfusion_frame_one_jit_ms"]
+        rows.append(f"| FULL KinectFusion frame in ONE jit (bilateral + "
+                    f"pyramid + raycast + ICP its=(1,0,2,3) + gated "
+                    f"frustum-ROI fuse), 256^3/VGA | — | **{ms:.2f} ms "
+                    f"({1e3 / ms:.0f} fps)** | — |")
+    if "dtam_stereo_frame_ms" in configs:
+        ms = configs["dtam_stereo_frame_ms"]
+        rows.append(f"| DTAM variational stereo frame (census volume + 50 "
+                    f"Huber-ROF/aux iterations + post-filters), 640x480/64 "
+                    f"disp | — | **{ms:.2f} ms ({1e3 / ms:.0f} fps)** | — |")
+    block = "\n" + "\n".join(rows) + "\n"
+    open(path, "w").write(text[:i] + block + text[j:])
+    print("docs/PERF.md headline table regenerated from this run",
+          file=sys.stderr)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true",
@@ -274,12 +346,14 @@ def main():
         r_ms, t_ms = bench_variational()
         configs["rof_100it_ms"] = round(r_ms, 3)
         configs["tgv_100it_ms"] = round(t_ms, 3)
+        configs["dtam_stereo_frame_ms"] = round(bench_dtam(), 2)
         configs["fuse_raycast_256_vga_ms"] = round(bench_fusion(), 2)
         configs["kinectfusion_frame_one_jit_ms"] = round(bench_kf_frame(), 2)
         configs["sgm_stereo_640x480_64disp_fps"] = round(fps, 2)
         configs["sgm_stereo_batch4_fps"] = round(bench_sgm_batched(), 2)
         # 8-path aggregation (4 diagonals beyond the reference's 4 paths)
         configs["sgm_stereo_8path_fps"] = round(bench_sgm(do_diagonal=True), 2)
+        update_perf_headline(fps, configs)
     if args.all:
         for k, v in configs.items():
             print(f"{k}: {v}", file=sys.stderr)

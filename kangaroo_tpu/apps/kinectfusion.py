@@ -51,6 +51,15 @@ class KinectFusionConfig:
     bilateral_gr: float = 0.1  # ui.gr
     bilateral_minval: float = 0.2  # BilateralFilter(..., 0.2) main.cpp:209
     icp_c: float = 0.1  # ui.icp c
+    # bounded projective-association window (solvers/icp.py assoc_radius):
+    # the per-pixel live-image gather becomes a (2r+1)^2 masked-shift
+    # stencil — identical result whenever the match offset is within r
+    # pixels at that pyramid level (true during tracking; coarse levels see
+    # offsets shrunk 2x per level). None = the reference's exact gather.
+    # Applies only to pixel-lattice model paths (guided/exact engines or
+    # raycast_downsample); the separable sweep-grid cloud keeps the exact
+    # gather, quartered by the depth-only K_live association.
+    icp_assoc_radius: int | None = 4
     trunc_dist_factor: float = 2.0  # ui.trunc vol factor
     max_w: float = 1000.0  # ui.max w
     min_cos_theta: float = 0.1  # ui.min cos theta
@@ -159,12 +168,16 @@ def raycast_model(vol: TsdfVolume, T_wl, K: Intrinsics, cfg: KinectFusionConfig,
 
 
 def icp_refine(kin_v, ray_v, ray_n, K: Intrinsics, cfg: KinectFusionConfig,
-               K_mats=None):
+               K_mats=None, assoc_radius: int | None = None):
     """Multi-level projective point-plane ICP (main.cpp:293-336).
 
     Returns (T_lp, rmse, tracking_good): the live-from-previous correction,
     applied as T_wl <- T_wl * T_lp^-1. ``K_mats`` (per-level 3x3 arrays)
-    must be passed when called inside a jit.
+    must be passed when called inside a jit. The live camera intrinsics
+    always ride along so the association gathers only the depth channel
+    (solvers/icp.py K_live); ``assoc_radius`` additionally bounds the
+    association window — valid only when ray_v lies on the live pixel
+    lattice (not the separable raycast's sweep-grid cloud).
     """
     if K_mats is None:
         K_mats = tuple(
@@ -176,10 +189,14 @@ def icp_refine(kin_v, ray_v, ray_n, K: Intrinsics, cfg: KinectFusionConfig,
         if cfg.its[l] == 0:
             continue
         Kl = jnp.asarray(K_mats[l])
+        K_live = (Kl[0, 0], Kl[1, 1], Kl[0, 2], Kl[1, 2])
         for _ in range(cfg.its[l]):
             KT_lp = Kl @ T_lp
             T_pl = se3.inverse(T_lp)
-            s = icp_mod.icp_point_plane(kin_v[l], ray_v[l], ray_n[l], KT_lp, T_pl, cfg.icp_c)
+            s = icp_mod.icp_point_plane(kin_v[l], ray_v[l], ray_n[l], KT_lp,
+                                        T_pl, cfg.icp_c,
+                                        assoc_radius=assoc_radius,
+                                        K_live=K_live)
             s_prior = LSS(
                 s.JTJ + cfg.motion_prior * jnp.eye(6, dtype=jnp.float32),
                 s.JTy, s.sqErr, s.obs,
@@ -242,7 +259,10 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
             _, ray_v, ray_n = raycast_model(vol, T_wl, K, cfg, levels=cfg.its,
                                             trunc=trunc_dist,
                                             cloud=cfg.engine == "separable")
-        T_lp, rmse = icp_refine(kin_v, ray_v, ray_n, K, cfg, K_mats=K_mats)
+        pixel_lattice = cfg.raycast_downsample or cfg.engine != "separable"
+        T_lp, rmse = icp_refine(
+            kin_v, ray_v, ray_n, K, cfg, K_mats=K_mats,
+            assoc_radius=cfg.icp_assoc_radius if pixel_lattice else None)
         good = jnp.isfinite(rmse) & (rmse < cfg.max_rmse)
         T_new = jnp.where(good & ~first,
                           se3.compose(T_wl, se3.inverse(T_lp)), T_wl)
@@ -365,7 +385,10 @@ class KinectFusion:
             _, ray_v, ray_n = raycast_model(self.vol, self.T_wl, self.K, cfg,
                                             levels=cfg.its,
                                             cloud=cfg.engine == "separable")
-            T_lp, rmse = icp_refine(kin_v, ray_v, ray_n, self.K, cfg)
+            pixel_lattice = cfg.raycast_downsample or cfg.engine != "separable"
+            T_lp, rmse = icp_refine(
+                kin_v, ray_v, ray_n, self.K, cfg,
+                assoc_radius=cfg.icp_assoc_radius if pixel_lattice else None)
             self.rmse = float(rmse)
             if not np.isfinite(self.rmse):
                 # divergence: reset and fall through to fuse the current

@@ -660,13 +660,13 @@ def sdf_fuse_color_separable(vol: TsdfVolume, color_vol, depth, normals,
 @functools.partial(
     jax.jit,
     static_argnames=("w", "h", "grid_w", "grid_h", "shade", "normals",
-                     "sweep_axis", "output"))
+                     "sweep_axis", "output", "clip_planes"))
 def raycast_sdf_separable(vol: TsdfVolume, T_wc, K, w: int, h: int,
                           near=0.1, far=10.0, trunc_dist=None,
                           grid_w: int | None = None, grid_h: int | None = None,
                           shade: bool = True, normals: str = "depth",
                           sweep_axis: int | str = "auto",
-                          output: str = "pixels"):
+                          output: str = "pixels", clip_planes: bool = True):
     """RaycastSdf (cu_raycast.cu:34-113) as a gather-free plane sweep.
 
     Every volume z-plane resamples onto the intermediate (t, s) grid with
@@ -702,15 +702,17 @@ def raycast_sdf_separable(vol: TsdfVolume, T_wc, K, w: int, h: int,
             idx,
             [lambda _, a=a: _raycast_axis(
                 vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
-                shade, normals, a, output) for a in (0, 1, 2)],
+                shade, normals, a, output, clip_planes) for a in (0, 1, 2)],
             None,
         )
     return _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w,
-                         grid_h, shade, normals, sweep_axis, output)
+                         grid_h, shade, normals, sweep_axis, output,
+                         clip_planes)
 
 
 def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
-                  shade, normals, axis: int, output: str = "pixels"):
+                  shade, normals, axis: int, output: str = "pixels",
+                  clip_planes: bool = True):
     order, perm = _ORDER[axis], _PERM[axis]
     grad_normals = normals == "gradient"
     grid_w = grid_w or w
@@ -893,15 +895,53 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
         all_asc = jnp.all(ascending)
         uniform = all_asc | jnp.all(~ascending)
 
-        def run_single(pk, dn, osf, otf):
-            xs_u = (
-                pk.reshape(D // P, P, Hv, Wv),
-                dn.reshape(D // P, P),
-                osf.reshape(D // P, P),
-                otf.reshape(D // P, P),
-            )
-            cs, _ = jax.lax.scan(planes_single,
-                                 CarryS(zero, fal, zero, zero, fal), xs_u)
+        # Frustum plane window (mirrors the fuse's clip_planes): a plane
+        # whose clipped footprint is empty, or whose camera-depth range
+        # misses [near, far] entirely, has in_range all-False — it can
+        # produce no crossing and never flips prev_ok True, so skipping
+        # it is bit-equal. Raycast cost then scales with the depth window
+        # instead of the volume extent.
+        (s_lo_k, s_hi_k, s_empty), (t_lo_k, t_hi_k, t_empty) = \
+            _plane_intervals(Ainv, g, Wv, Hv, w, h, D)
+        qz_c = jnp.stack([
+            denom_all * (A[2, 0] * sc + A[2, 1] * tc + A[2, 2])
+            for sc in (s_lo_k, s_hi_k) for tc in (t_lo_k, t_hi_k)
+        ])
+        qz_ok = jnp.all(jnp.isfinite(qz_c), axis=0)
+        qz_lo = jnp.min(qz_c, axis=0)
+        qz_hi = jnp.max(qz_c, axis=0)
+        visible = ~(s_empty | t_empty) & ~(
+            qz_ok & ((qz_hi < near) | (qz_lo > far)))
+        any_vis = jnp.any(visible)
+        k_lo = jnp.argmax(visible).astype(jnp.int32)
+        k_hi = (D - 1 - jnp.argmax(visible[::-1])).astype(jnp.int32)
+
+        def run_single(pk, dn, osf, otf, win_rev: bool):
+            # windowed batch loop: only visible plane batches are swept.
+            # win_rev marks that pk is the k-reversed volume, so the
+            # visible window maps to [D-1-k_hi, D-1-k_lo].
+            if not clip_planes:
+                b_lo, b_hi = 0, D // P
+            elif win_rev:
+                b_lo = jnp.where(any_vis, (D - 1 - k_hi) // P, 0)
+                b_hi = jnp.where(any_vis, (D - 1 - k_lo) // P + 1, 0)
+            else:
+                b_lo = jnp.where(any_vis, k_lo // P, 0)
+                b_hi = jnp.where(any_vis, k_hi // P + 1, 0)
+
+            def body(b, cs):
+                k0 = b * P
+                xs_b = (
+                    jax.lax.dynamic_slice(pk, (k0, 0, 0), (P, Hv, Wv)),
+                    jax.lax.dynamic_slice(dn, (k0,), (P,)),
+                    jax.lax.dynamic_slice(osf, (k0,), (P,)),
+                    jax.lax.dynamic_slice(otf, (k0,), (P,)),
+                )
+                cs, _ = planes_single(cs, xs_b)
+                return cs
+
+            cs = jax.lax.fori_loop(
+                b_lo, b_hi, body, CarryS(zero, fal, zero, zero, fal))
             return cs.depth, cs.found
 
         def uniform_case(_):
@@ -910,9 +950,11 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
             # passes every raycast)
             return jax.lax.cond(
                 all_asc,
-                lambda _: run_single(packed, denom_all, offs_all, offt_all),
+                lambda _: run_single(packed, denom_all, offs_all, offt_all,
+                                     win_rev=False),
                 lambda _: run_single(packed[::-1], denom_all[::-1],
-                                     offs_all[::-1], offt_all[::-1]),
+                                     offs_all[::-1], offt_all[::-1],
+                                     win_rev=True),
                 None,
             )
 

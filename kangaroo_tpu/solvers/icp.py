@@ -7,6 +7,8 @@ replacing the CUDA shared-memory tree reduce + thrust pass.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -14,8 +16,9 @@ from ..core import reweighting, sampling, se3
 from .lss import LSS, reduce_system
 
 
-@jax.jit
-def icp_point_plane(points_live, points_ref, normals_ref, KT_lr, T_rl, c) -> LSS:
+@functools.partial(jax.jit, static_argnames=("assoc_radius",))
+def icp_point_plane(points_live, points_ref, normals_ref, KT_lr, T_rl, c,
+                    assoc_radius: int | None = None, K_live=None) -> LSS:
     """Build the 6-dof point-plane system (cu_model_refinement.cu:541-608).
 
     points_live: (H, W, 4) live point image ("dPl"); points_ref / normals_ref:
@@ -24,8 +27,28 @@ def icp_point_plane(points_live, points_ref, normals_ref, KT_lr, T_rl, c) -> LSS
     the live image; T_rl: (3, 4) live -> reference; c: Tukey constant.
 
     Residual: y = (T_rl p_live_hat - P_r) . N_r, weight (1/P_r.z) Tukey.
+
+    ``assoc_radius``: the reference's projective association is a per-pixel
+    nearest-neighbour GATHER of the live point image — the single most
+    expensive op on TPU (~2 ms at VGA, the measured XLA gather floor).
+    During tracking the projection offsets are a few pixels (consecutive
+    frames, coarse-to-fine refinement), so with ``assoc_radius=r`` the
+    gather becomes a (2r+1)^2 masked-shift stencil (lane/sublane rolls, one
+    fused elementwise pass): pixels whose match lies further than r get no
+    association this iteration — identical to the gather whenever the
+    offset is within the window. ``None`` keeps the exact gather. Only
+    meaningful when points_ref lies on the live pixel lattice (same camera
+    grid); the separable raycast's sweep-grid cloud adds a grid-warp
+    displacement the window cannot cover — pass K_live instead there.
+
+    ``K_live``: (fu, fv, u0, v0) of the live camera. The live VBO is a pure
+    function of its depth channel and the pixel index (depth_to_vbo), so
+    with intrinsics known the association gathers ONE channel instead of
+    four and reconstructs x, y bit-identically at the matched index —
+    quartering the gather bytes of the exact association.
     """
     H, W = points_ref.shape[:2]
+    Hl, Wl = points_live.shape[:2]
     Pr = points_ref[..., :3]
     Nr = normals_ref[..., :3]
     nr_valid = normals_ref[..., 3] == 1.0
@@ -35,9 +58,54 @@ def icp_point_plane(points_live, points_ref, normals_ref, KT_lr, T_rl, c) -> LSS
     pl_v = KPl[..., 1] / KPl[..., 2]
     in_img = sampling.in_bounds(points_live[..., 0], pl_u, pl_v, 3)
 
+    def reconstruct(z, ui, vi):
+        # depth_to_vbo's exact op order: ray = (u-u0)/fu, then ray * z
+        fu, fv, u0, v0 = K_live
+        x = (ui.astype(jnp.float32) - u0) / fu * z
+        y = (vi.astype(jnp.float32) - v0) / fv * z
+        return jnp.stack([x, y, z], axis=-1)
+
     # GetNearestNeighbour (cu_model_refinement.cu:560)
-    _Pl = sampling.nearest(points_live, pl_u, pl_v)[..., :3]
-    pl_valid = jnp.isfinite(_Pl[..., 2])
+    if assoc_radius is None:
+        ui = jnp.clip(jnp.floor(pl_u + 0.5), 0, Wl - 1).astype(jnp.int32)
+        vi = jnp.clip(jnp.floor(pl_v + 0.5), 0, Hl - 1).astype(jnp.int32)
+        if K_live is None:
+            _Pl = sampling.nearest(points_live, pl_u, pl_v)[..., :3]
+        else:
+            z = jnp.take(points_live[..., 2].reshape(-1),
+                         (vi * Wl + ui).astype(jnp.int32), axis=0)
+            _Pl = reconstruct(z, ui, vi)
+        pl_valid = jnp.isfinite(_Pl[..., 2])
+    else:
+        r = assoc_radius
+        ui = jnp.floor(pl_u + 0.5).astype(jnp.int32)  # nearest() convention
+        vi = jnp.floor(pl_v + 0.5).astype(jnp.int32)
+        vv, uu = jnp.mgrid[0:H, 0:W]
+        du = ui - uu
+        dv = vi - vv
+        found = jnp.zeros((H, W), bool)
+        if K_live is None:
+            live3 = points_live[..., :3]
+            _Pl = jnp.zeros((H, W, 3), jnp.float32)
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    m = (dv == dy) & (du == dx)
+                    # in_img guarantees the matched index is in-bounds
+                    # wherever m holds, so the roll wrap never selects
+                    # wrapped data
+                    cand = jnp.roll(live3, (-dy, -dx), axis=(0, 1))
+                    _Pl = jnp.where(m[..., None], cand, _Pl)
+                    found = found | m
+        else:
+            zl = points_live[..., 2]
+            z = jnp.zeros((H, W), jnp.float32)
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    m = (dv == dy) & (du == dx)
+                    z = jnp.where(m, jnp.roll(zl, (-dy, -dx), axis=(0, 1)), z)
+                    found = found | m
+            _Pl = reconstruct(z, ui, vi)
+        pl_valid = found & jnp.isfinite(_Pl[..., 2])
 
     _Pr = _Pl @ T_rl[:, :3].T + T_rl[:, 3]
     Dr = _Pr - Pr

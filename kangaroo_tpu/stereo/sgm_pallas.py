@@ -7,11 +7,13 @@ recurrence carry resident on-chip.
 Layout: the cost volume stays in its native (D, H, W) order, so each scan
 step works on (D, W) tiles — disparity on sublanes (the recurrence's +-1
 shifts are sublane rolls) and image x on the 128 lanes (full VPU width, and
-the adaptive P2 broadcast is a natural lane vector). One kernel pass covers
-the forward AND reverse direction of the scan axis (rows r and H-1-r per
-block), with ``ROWS_PER_STEP`` rows per grid step so block DMAs pipeline
-against compute. Horizontal paths run the same kernel on a (D, W, H)
-transpose.
+the adaptive P2 broadcast is a natural lane vector). Each kernel covers one
+path direction with ``ROWS_PER_STEP`` rows per grid step so block DMAs
+pipeline against compute; directions CHAIN through one aliased accumulator
+in-kernel (out = acc + Lr per block), so per-direction volumes are never
+materialised for XLA-side adds — the only XLA volume ops left are the
+horizontal pair's (D, W, H) relayouts and one final vertical+horizontal
+add.
 
 Semantics identical to sgm._scan_direction (and the golden NumPy model):
   CM = min(prev, prev<<1 + P1, prev>>1 + P1, lastBest + P2/(1+|dI|))
@@ -31,17 +33,28 @@ _BIG = 1e30
 ROWS_PER_STEP = 8
 
 
-def _make_kernel(P1, R, total, width, mask_mode, scan_is_x):
+def _make_kernel(P1, R, total, width, mask_mode, scan_is_x, reverse: bool,
+                 accumulate: bool):
     """Kernel factory. Blocks are (D, R, N): disparity x rows x line-axis.
     ``scan_is_x``: the scan axis is the image x axis (volume pre-transposed
     to (D, W, H)), so the valid-disparity set moves with the scan position
     and ``width`` is the total scan length; otherwise the mask is static in
-    the (d, x) plane and ``width`` is N."""
+    the (d, x) plane and ``width`` is N.
 
-    def kernel(vol_f_ref, vol_r_ref, p2f_ref, p2r_ref, out_f_ref, out_r_ref,
-               prev_f, best_f, prev_r, best_r):
+    One kernel covers ONE path direction (``reverse`` flips the block order
+    and in-block row order); with ``accumulate`` the result is ADDED onto
+    the aliased accumulator block — path directions chain through one
+    buffer in-kernel instead of materialising per-direction volumes for
+    XLA-side adds (each chained direction saves a full f32 volume write +
+    read)."""
+
+    def kernel(vol_ref, p2_ref, *refs):
+        if accumulate:
+            acc_ref, out_ref, prev, best = refs
+        else:
+            out_ref, prev, best = refs
         g = pl.program_id(0)
-        D, N = prev_f.shape
+        D, N = prev.shape
         dsub = jax.lax.broadcasted_iota(jnp.int32, (D, N), 0)
 
         if scan_is_x:
@@ -57,13 +70,19 @@ def _make_kernel(P1, R, total, width, mask_mode, scan_is_x):
                 return dsub <= xpos
             return xpos + dsub < width
 
-        def seed(c, out_ref, i, prev, best, m):
+        def emit(i, val):
+            if accumulate:
+                out_ref[:, i, :] = acc_ref[:, i, :] + val
+            else:
+                out_ref[:, i, :] = val
+
+        def seed(c, i, m):
             c = c.astype(jnp.float32)
-            out_ref[:, i, :] = jnp.where(m, c, 0.0) if m is not None else c
+            emit(i, jnp.where(m, c, 0.0) if m is not None else c)
             prev[:] = jnp.where(m, c, _BIG) if m is not None else c
             best[:] = jnp.zeros_like(best)
 
-        def step(c, p2_ref, out_ref, i, prev, best, m):
+        def step(c, i, m):
             c = c.astype(jnp.float32)
             p2 = p2_ref[0, i, :].reshape(1, N)  # lane vector
             pv = prev[:]
@@ -76,33 +95,28 @@ def _make_kernel(P1, R, total, width, mask_mode, scan_is_x):
             cr = cm + c - lastbest
             if m is not None:
                 cr = jnp.where(m, cr, _BIG)
-                out_ref[:, i, :] = jnp.where(m, cr, 0.0)
+                emit(i, jnp.where(m, cr, 0.0))
             else:
-                out_ref[:, i, :] = cr
+                emit(i, cr)
             prev[:] = cr
             best[:] = jnp.broadcast_to(jnp.min(cr, axis=0, keepdims=True), best.shape)
 
-        for i in range(R):
-            ri = R - 1 - i  # reverse block is processed back to front
-            fwd_pos = g * R + i
-            rev_pos = total - 1 - fwd_pos
-            c_f = vol_f_ref[:, i, :]
-            c_r = vol_r_ref[:, ri, :]
-            m_f = pos_mask(fwd_pos)
-            m_r = pos_mask(rev_pos)
-            if i == 0:
+        for ii in range(R):
+            i = R - 1 - ii if reverse else ii  # in-block row
+            pos = g * R + ii                   # stream position
+            abs_pos = total - 1 - pos if reverse else pos
+            c = vol_ref[:, i, :]
+            m = pos_mask(abs_pos)
+            if ii == 0:
                 @pl.when(g == 0)
-                def _(c_f=c_f, c_r=c_r, m_f=m_f, m_r=m_r):
-                    seed(c_f, out_f_ref, 0, prev_f, best_f, m_f)
-                    seed(c_r, out_r_ref, R - 1, prev_r, best_r, m_r)
+                def _(c=c, i=i, m=m):
+                    seed(c, i, m)
 
                 @pl.when(g > 0)
-                def _(c_f=c_f, c_r=c_r, m_f=m_f, m_r=m_r):
-                    step(c_f, p2f_ref, out_f_ref, 0, prev_f, best_f, m_f)
-                    step(c_r, p2r_ref, out_r_ref, R - 1, prev_r, best_r, m_r)
+                def _(c=c, i=i, m=m):
+                    step(c, i, m)
             else:
-                step(c_f, p2f_ref, out_f_ref, i, prev_f, best_f, m_f)
-                step(c_r, p2r_ref, out_r_ref, ri, prev_r, best_r, m_r)
+                step(c, i, m)
 
     return kernel
 
@@ -118,15 +132,56 @@ def _p2_rows(img, P2, reverse: bool):
     return (P2 / (1.0 + diff))[None]
 
 
+def _aggregate_direction(vol, p2, P1, mask_mode, scan_is_x, width,
+                         reverse: bool, acc=None):
+    """One path direction along axis 1 of vol (D, S, N). With ``acc`` the
+    direction is added onto it via an aliased accumulator (no XLA add)."""
+    D, S, N = vol.shape
+    R = ROWS_PER_STEP
+    n_blocks = S // R
+    if reverse:
+        blk = lambda g: (0, n_blocks - 1 - g, 0)
+    else:
+        blk = lambda g: (0, g, 0)
+
+    kernel = _make_kernel(P1, R, S, width, mask_mode, scan_is_x, reverse,
+                          acc is not None)
+    in_specs = [
+        pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, N), blk, memory_space=pltpu.VMEM),
+    ]
+    operands = [vol, p2]
+    kwargs = {}
+    if acc is not None:
+        in_specs.append(pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM))
+        operands.append(acc)
+        kwargs["input_output_aliases"] = {2: 0}
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, S, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((D, N), jnp.float32),
+            pltpu.VMEM((8, N), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(*operands)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("P1", "P2", "do_reverse", "mask_mode", "scan_is_x", "width"),
 )
 def sgm_aggregate_scan(vol, img, P1=0.01, P2=0.02, do_reverse: bool = True,
                        mask_mode: str = "left", scan_is_x: bool = False,
-                       width: int | None = None):
-    """Aggregate along axis 1 of vol (D, S, N), both path directions in one
-    kernel pass; img is (S, N). Returns the summed (D, S, N) contribution."""
+                       width: int | None = None, acc=None):
+    """Aggregate along axis 1 of vol (D, S, N), both path directions chained
+    through one in-kernel accumulator; img is (S, N). Returns the summed
+    (D, S, N) contribution (added onto ``acc`` when given)."""
     D, S, N = vol.shape
     R = ROWS_PER_STEP
     assert S % R == 0, f"scan length {S} must be a multiple of {R}"
@@ -139,41 +194,12 @@ def sgm_aggregate_scan(vol, img, P1=0.01, P2=0.02, do_reverse: bool = True,
     p2f = _p2_rows(img, P2, reverse=False)
     p2r = _p2_rows(img, P2, reverse=True)
 
-    n_blocks = S // R
-    blk = lambda g: (0, g, 0)
-    blk_rev = lambda g: (0, n_blocks - 1 - g, 0)
-
-    kernel = _make_kernel(P1, R, S, width, mask_mode, scan_is_x)
-    out_f, out_r = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, R, N), blk_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, N), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, N), blk_rev, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, R, N), blk_rev, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((D, S, N), jnp.float32),
-            jax.ShapeDtypeStruct((D, S, N), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((D, N), jnp.float32),
-            pltpu.VMEM((8, N), jnp.float32),
-            pltpu.VMEM((D, N), jnp.float32),
-            pltpu.VMEM((8, N), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-    )(vol, vol, p2f, p2r)
+    out = _aggregate_direction(vol, p2f, P1, mask_mode, scan_is_x, width,
+                               reverse=False, acc=acc)
     if do_reverse:
-        return out_f + out_r
-    return out_f
+        out = _aggregate_direction(vol, p2r, P1, mask_mode, scan_is_x, width,
+                                   reverse=True, acc=out)
+    return out
 
 
 @functools.partial(
@@ -186,45 +212,56 @@ def semi_global_matching(vol, img, P1=0.01, P2=0.02, do_horiz: bool = True,
                          do_diagonal: bool = False, sd: int = -1):
     """Drop-in Pallas replacement for sgm.semi_global_matching: vol (D, H, W),
     img (H, W) -> aggregated (D, H, W); a bfloat16 vol streams at half the
-    bandwidth (aggregation is f32 regardless)."""
+    bandwidth (aggregation is f32 regardless).
+
+    All row-major directions (vertical pair + the four diagonals) chain
+    through ONE aliased accumulator in-kernel; the horizontal pair chains
+    through its own accumulator in the transposed layout — the only XLA-side
+    volume ops left are the horizontal input/output relayouts and one final
+    add."""
     D, H, W = vol.shape
     v = vol if vol.dtype == jnp.bfloat16 else vol.astype(jnp.float32)
     mask_mode = "left" if sd < 0 else "right"
-    out = jnp.zeros_like(v)
+    acc = None
     if do_vert:
-        out = out + sgm_aggregate_scan(v, img, P1, P2, do_reverse,
-                                       mask_mode, scan_is_x=False)
+        acc = sgm_aggregate_scan(v, img, P1, P2, do_reverse,
+                                 mask_mode, scan_is_x=False)
+    if do_diagonal:
+        acc = sgm_aggregate_diag(v, img, P1, P2, mask_mode, dx=1, acc=acc)
+        acc = sgm_aggregate_diag(v, img, P1, P2, mask_mode, dx=-1, acc=acc)
     if do_horiz:
         vt = jnp.swapaxes(v, 1, 2)  # (D, W, H): scan along x
         it = jnp.swapaxes(img, 0, 1)
         agg = sgm_aggregate_scan(vt, it, P1, P2, do_reverse, mask_mode,
                                  scan_is_x=True, width=W)
-        out = out + jnp.swapaxes(agg, 1, 2)
-    if do_diagonal:
-        out = out + sgm_aggregate_diag(v, img, P1, P2, mask_mode, dx=1)
-        out = out + sgm_aggregate_diag(v, img, P1, P2, mask_mode, dx=-1)
-    return out
+        aggT = jnp.swapaxes(agg, 1, 2)
+        acc = aggT if acc is None else acc + aggT
+    return jnp.zeros_like(v, dtype=jnp.float32) if acc is None else acc
 
 
-def _make_diag_kernel(P1, R, total, width, mask_mode, dx):
+def _make_diag_kernel(P1, R, total, width, mask_mode, dx, reverse: bool,
+                      accumulate: bool):
     """Diagonal-path kernel: like _make_kernel but the carry shifts ``dx``
     lanes per scan step, so pixel (x, row) continues the path from
     (x - dx, row -+ 1). Lanes whose predecessor falls outside the image (and
     the whole first row) re-seed: Lr = C, lastBest = 0 — identical start
-    semantics to the straight paths. Covers (dx, +1) in the forward stream
-    and (dx, -1) in the reverse stream."""
+    semantics to the straight paths. One kernel covers direction
+    (dx, -1 if reverse else +1); ``accumulate`` chains onto the aliased
+    accumulator like _make_kernel."""
 
-    def kernel(vol_f_ref, vol_r_ref, p2f_ref, p2r_ref, out_f_ref, out_r_ref,
-               prev_f, best_f, prev_r, best_r):
+    def kernel(vol_ref, p2_ref, *refs):
+        if accumulate:
+            acc_ref, out_ref, prev, best = refs
+        else:
+            out_ref, prev, best = refs
         g = pl.program_id(0)
-        D, N = prev_f.shape
+        D, N = prev.shape
         dsub = jax.lax.broadcasted_iota(jnp.int32, (D, N), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (D, N), 1)
-        x = jax.lax.broadcasted_iota(jnp.int32, (D, N), 1)
-        static_mask = (dsub <= x) if mask_mode == "left" else (x + dsub < width)
+        static_mask = (dsub <= lane) if mask_mode == "left" else (lane + dsub < width)
         pred_in_image = (lane - dx >= 0) & (lane - dx < N)
 
-        def step(c, p2_ref, out_ref, i, prev, best, row_pos):
+        def step(c, i, row_pos):
             c = c.astype(jnp.float32)
             p2 = p2_ref[0, i, :].reshape(1, N)
             has_prev = (row_pos >= 1) & pred_in_image
@@ -240,19 +277,20 @@ def _make_diag_kernel(P1, R, total, width, mask_mode, dx):
             cr_cont = cm + c - lastbest
             cr = jnp.where(has_prev, cr_cont, c)
             cr = jnp.where(static_mask, cr, _BIG)
-            out_ref[:, i, :] = jnp.where(static_mask, cr, 0.0)
+            masked = jnp.where(static_mask, cr, 0.0)
+            if accumulate:
+                out_ref[:, i, :] = acc_ref[:, i, :] + masked
+            else:
+                out_ref[:, i, :] = masked
             prev[:] = cr
             newbest = jnp.where(
                 has_prev[0:1, :], jnp.min(cr, axis=0, keepdims=True), 0.0
             )
             best[:] = jnp.broadcast_to(newbest, best.shape)
 
-        for i in range(R):
-            ri = R - 1 - i
-            step(vol_f_ref[:, i, :], p2f_ref, out_f_ref, i, prev_f, best_f,
-                 g * R + i)
-            step(vol_r_ref[:, ri, :], p2r_ref, out_r_ref, ri, prev_r, best_r,
-                 g * R + i)
+        for ii in range(R):
+            i = R - 1 - ii if reverse else ii
+            step(vol_ref[:, i, :], i, g * R + ii)
 
     return kernel
 
@@ -266,13 +304,51 @@ def _p2_diag(img, P2, dx: int, reverse: bool):
     return (P2 / (1.0 + jnp.abs(pred - f)))[None]
 
 
+def _diag_direction(vol, p2, P1, mask_mode, dx, width, reverse: bool,
+                    acc=None):
+    D, S, N = vol.shape
+    R = ROWS_PER_STEP
+    n_blocks = S // R
+    if reverse:
+        blk = lambda g: (0, n_blocks - 1 - g, 0)
+    else:
+        blk = lambda g: (0, g, 0)
+    kernel = _make_diag_kernel(P1, R, S, width, mask_mode, dx, reverse,
+                               acc is not None)
+    in_specs = [
+        pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, R, N), blk, memory_space=pltpu.VMEM),
+    ]
+    operands = [vol, p2]
+    kwargs = {}
+    if acc is not None:
+        in_specs.append(pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM))
+        operands.append(acc)
+        kwargs["input_output_aliases"] = {2: 0}
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((D, S, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((D, N), jnp.float32),
+            pltpu.VMEM((8, N), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(*operands)
+
+
 @functools.partial(
     jax.jit, static_argnames=("P1", "P2", "mask_mode", "dx", "width")
 )
 def sgm_aggregate_diag(vol, img, P1=0.01, P2=0.02, mask_mode: str = "left",
-                       dx: int = 1, width: int | None = None):
+                       dx: int = 1, width: int | None = None, acc=None):
     """Diagonal aggregation along axis 1 of vol (D, S, N): directions (dx, +1)
-    and (dx, -1) in one kernel pass. Returns the summed contribution."""
+    and (dx, -1) chained through the in-kernel accumulator. Returns the
+    summed contribution (added onto ``acc`` when given)."""
     D, S, N = vol.shape
     R = ROWS_PER_STEP
     assert S % R == 0
@@ -283,36 +359,7 @@ def sgm_aggregate_diag(vol, img, P1=0.01, P2=0.02, mask_mode: str = "left",
     p2f = _p2_diag(img, P2, dx, reverse=False)
     p2r = _p2_diag(img, P2, dx, reverse=True)
 
-    n_blocks = S // R
-    blk = lambda g: (0, g, 0)
-    blk_rev = lambda g: (0, n_blocks - 1 - g, 0)
-
-    kernel = _make_diag_kernel(P1, R, S, width, mask_mode, dx)
-    out_f, out_r = pl.pallas_call(
-        kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, R, N), blk_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, N), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, R, N), blk_rev, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, R, N), blk_rev, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((D, S, N), jnp.float32),
-            jax.ShapeDtypeStruct((D, S, N), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((D, N), jnp.float32),
-            pltpu.VMEM((8, N), jnp.float32),
-            pltpu.VMEM((D, N), jnp.float32),
-            pltpu.VMEM((8, N), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-    )(vol, vol, p2f, p2r)
-    return out_f + out_r
+    out = _diag_direction(vol, p2f, P1, mask_mode, dx, width, reverse=False,
+                          acc=acc)
+    return _diag_direction(vol, p2r, P1, mask_mode, dx, width, reverse=True,
+                           acc=out)

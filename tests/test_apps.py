@@ -326,3 +326,74 @@ class TestMultiViewStereo:
         g = np.asarray(gt)
         m = np.isfinite(disp) & (np.arange(W)[None, :] >= D)
         assert np.median(np.abs(disp[m] - g[m])) < 1.0
+
+
+class TestQuantitativeGates:
+    """End-to-end numeric gates (VERDICT r2 #8): trajectory ATE for the
+    KinectFusion tracker over a longer orbit, and a fused-mesh vertex
+    distance bound against the analytic SDF (the SdfFusion.cpp:130-135
+    self-test done quantitatively)."""
+
+    def test_kinectfusion_orbit_ate(self):
+        W, H = 64, 48
+        K = kt.Intrinsics.centered(55.0, W, H)
+        cfg = kf.KinectFusionConfig(
+            w=W, h=H, vol_res=48, vol_extent=1.2, max_levels=2, its=(2, 2),
+            near=0.5, far=6.0, max_rmse=0.3, bilateral_minval=0.2,
+        )
+        pipe = kf.KinectFusion(K, cfg)
+        scene = synthetic.sphere_scene(res=64)
+        t_err, r_err = [], []
+        n_frames = 10
+        for i, (T_wc, depth) in enumerate(
+            synthetic.depth_sequence(n_frames, K, W, H, scene=scene,
+                                     step=0.012)
+        ):
+            depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
+            if i == 0:
+                pipe.T_wl = T_wc
+            est = np.asarray(pipe.process_frame(depth))
+            gt = np.asarray(T_wc)
+            t_err.append(np.linalg.norm(est[:, 3] - gt[:, 3]))
+            cosang = (np.trace(est[:, :3].T @ gt[:, :3]) - 1.0) / 2.0
+            r_err.append(np.degrees(np.arccos(np.clip(cosang, -1.0, 1.0))))
+        assert pipe.tracking_good
+        ate = float(np.sqrt(np.mean(np.square(t_err))))
+        # orbit spans ~0.12 rad at radius 3 (~0.36 units of camera motion);
+        # the tracker must hold absolute trajectory error well under a voxel
+        # (2.4/47 = 0.051) on average and bounded rotation drift
+        assert ate < 0.04, (ate, t_err)
+        assert max(t_err) < 0.08, t_err
+        assert max(r_err) < 2.0, r_err
+
+    def test_fused_mesh_vertex_distance_to_analytic_sdf(self):
+        from kangaroo_tpu.fusion import marching_cubes as mc
+        from kangaroo_tpu.fusion import raycast as rc
+        from kangaroo_tpu.fusion import sdf as sdf_mod
+        from kangaroo_tpu.geometry import depth as depth_mod
+
+        W, H, R = 64, 48, 48
+        K = kt.Intrinsics.centered(55.0, W, H)
+        bbox = kt.BoundingBox.create((-1.2, -1.2, -1.2), (1.2, 1.2, 1.2))
+        trunc = 0.15
+        vol = kt.TsdfVolume.create(R, R, R, bbox, trunc_dist=trunc)
+        for ang in np.linspace(0, 2 * np.pi, 8, endpoint=False):
+            c, s = np.cos(ang), np.sin(ang)
+            Rm = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+            T_wc = se3.make(Rm, Rm @ np.array([0, 0, -3.0], np.float32))
+            prev = jnp.full((H, W), jnp.nan)
+            gt_depth, _ = rc.raycast_sphere(prev, T_wc, K, (0, 0, 0), 0.9, W, H)
+            vbo = depth_mod.depth_to_vbo(gt_depth, K)
+            norm = depth_mod.normals_from_vbo(vbo)
+            vol = sdf_mod.sdf_fuse(vol, gt_depth, norm, se3.inverse(T_wc), K,
+                                   trunc, 1000.0, 0.1)
+        tris = mc.extract_mesh(vol, weight_min=0.5)
+        verts = np.asarray(tris).reshape(-1, 3)
+        assert len(verts) > 3000
+        # every mesh vertex must lie on the analytic sphere |v| = 0.9 to
+        # within half a voxel (2.4/47 = 0.051); the median far tighter
+        dist = np.abs(np.linalg.norm(verts, axis=1) - 0.9)
+        voxel = 2.4 / (R - 1)
+        assert np.median(dist) < 0.15 * voxel, np.median(dist) / voxel
+        assert np.percentile(dist, 99) < 0.5 * voxel
+        assert dist.max() < 1.0 * voxel

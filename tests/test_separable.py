@@ -404,3 +404,19 @@ class TestClipPlanes:
         mask[sl] = False
         np.testing.assert_array_equal(np.asarray(back.val)[mask],
                                       np.asarray(vol.val)[mask])
+
+    def test_raycast_clip_bit_equal(self):
+        # the raycast's frustum plane window must be bit-equal to the full
+        # sweep (invisible planes produce no crossings)
+        K, vol, T_wc, gt, norm, W, H = _scene()
+        T_cw = se3.inverse(T_wc)
+        v1 = sdf_mod.sdf_fuse(vol, gt, norm, T_cw, K, 0.15, 1000.0, 0.1)
+        for nf in ((0.5, 8.0), (2.0, 2.6)):
+            d_full, n_full, _ = sep.raycast_sdf_separable(
+                v1, T_wc, K, W, H, near=nf[0], far=nf[1], trunc_dist=0.15,
+                sweep_axis=0, clip_planes=False)
+            d_clip, n_clip, _ = sep.raycast_sdf_separable(
+                v1, T_wc, K, W, H, near=nf[0], far=nf[1], trunc_dist=0.15,
+                sweep_axis=0, clip_planes=True)
+            np.testing.assert_array_equal(np.asarray(d_full), np.asarray(d_clip))
+            np.testing.assert_array_equal(np.asarray(n_full), np.asarray(n_clip))

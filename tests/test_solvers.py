@@ -193,3 +193,65 @@ class TestManhattan:
         assert float(s.obs) > 0
         # residual gradient should be tiny at the true rotation
         assert np.linalg.norm(np.asarray(s.JTy)) / max(float(s.obs), 1) < 0.05
+
+
+class TestIcpAssociationVariants:
+    """The TPU association variants (solvers/icp.py): the depth-only K_live
+    gather must be bit-equal to the 4-channel gather, and the bounded
+    window must equal the exact gather when offsets fit inside it."""
+
+    def _setup(self):
+        import kangaroo_tpu as kt
+        from kangaroo_tpu.fusion import raycast as rc
+        from kangaroo_tpu.geometry import depth as depth_mod
+
+        W, H = 64, 48
+        K = kt.Intrinsics.centered(50.0, W, H)
+        T_wc = se3.make(np.eye(3), [0.0, 0.0, -3.0])
+        prev = jnp.full((H, W), jnp.nan)
+        gt, _ = rc.raycast_sphere(prev, T_wc, K, (0.0, 0.0, 0.0), 0.9, W, H)
+        pts = depth_mod.depth_to_vbo(gt, K)
+        norm = depth_mod.normals_from_vbo(pts)
+        Km = jnp.asarray(np.asarray(K.matrix()))
+        # a small pose perturbation: association offsets of a few pixels
+        dx = jnp.asarray([0.01, -0.008, 0.004, 0.002, -0.003, 0.001])
+        T_lr = se3.exp(dx)
+        return K, Km, pts, norm, T_lr
+
+    def test_k_live_depth_only_gather_bit_equal(self):
+        from kangaroo_tpu.solvers import icp as icp_mod
+
+        K, Km, pts, norm, T_lr = self._setup()
+        T_rl = se3.inverse(T_lr)
+        want = icp_mod.icp_point_plane(pts, pts, norm, Km @ T_lr, T_rl, 0.1)
+        got = icp_mod.icp_point_plane(
+            pts, pts, norm, Km @ T_lr, T_rl, 0.1,
+            K_live=(Km[0, 0], Km[1, 1], Km[0, 2], Km[1, 2]))
+        np.testing.assert_array_equal(np.asarray(got.JTJ), np.asarray(want.JTJ))
+        np.testing.assert_array_equal(float(got.obs), float(want.obs))
+
+    def test_windowed_association_matches_exact(self):
+        from kangaroo_tpu.solvers import icp as icp_mod
+
+        K, Km, pts, norm, T_lr = self._setup()
+        T_rl = se3.inverse(T_lr)
+        want = icp_mod.icp_point_plane(pts, pts, norm, Km @ T_lr, T_rl, 0.1)
+        for K_live in (None, (Km[0, 0], Km[1, 1], Km[0, 2], Km[1, 2])):
+            got = icp_mod.icp_point_plane(pts, pts, norm, Km @ T_lr, T_rl,
+                                          0.1, assoc_radius=4, K_live=K_live)
+            np.testing.assert_array_equal(np.asarray(got.JTJ),
+                                          np.asarray(want.JTJ))
+            np.testing.assert_array_equal(float(got.obs), float(want.obs))
+
+    def test_window_too_small_drops_pixels_only(self):
+        from kangaroo_tpu.solvers import icp as icp_mod
+
+        K, Km, pts, norm, T_lr = self._setup()
+        # a large translation: offsets exceed radius 1 for many pixels —
+        # the windowed system must use a SUBSET of the exact associations
+        T_big = se3.make(np.eye(3), [0.2, 0.0, 0.0])
+        T_rl = se3.inverse(T_big)
+        exact = icp_mod.icp_point_plane(pts, pts, norm, Km @ T_big, T_rl, 0.1)
+        small = icp_mod.icp_point_plane(pts, pts, norm, Km @ T_big, T_rl, 0.1,
+                                        assoc_radius=1)
+        assert float(small.obs) <= float(exact.obs)
