@@ -912,9 +912,22 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
         qz_hi = jnp.max(qz_c, axis=0)
         visible = ~(s_empty | t_empty) & ~(
             qz_ok & ((qz_hi < near) | (qz_lo > far)))
-        any_vis = jnp.any(visible)
-        k_lo = jnp.argmax(visible).astype(jnp.int32)
-        k_hi = (D - 1 - jnp.argmax(visible[::-1])).astype(jnp.int32)
+        # a crossing needs val <= 0 at a grid sample, and every sample is a
+        # nonnegative-weight combination of plane taps (non-observed taps
+        # read +trunc > 0) — so planes with NO non-positive tap can host no
+        # crossing, and only their immediate neighbours matter as the
+        # prev-plane of one. The sweep clips to the observed-negative
+        # shell +-1 plane: for a fused front surface that is a thin slab
+        # of the volume (one cheap (D,) reduction buys it).
+        has_neg = jnp.any(packed <= 0, axis=(1, 2))
+        any_neg = jnp.any(has_neg)
+        kneg_lo = jnp.argmax(has_neg).astype(jnp.int32) - 1
+        kneg_hi = (D - jnp.argmax(has_neg[::-1])).astype(jnp.int32)
+        vis_lo = jnp.argmax(visible).astype(jnp.int32)
+        vis_hi = (D - 1 - jnp.argmax(visible[::-1])).astype(jnp.int32)
+        k_lo = jnp.clip(jnp.maximum(vis_lo, kneg_lo), 0, D - 1)
+        k_hi = jnp.clip(jnp.minimum(vis_hi, kneg_hi), 0, D - 1)
+        any_vis = jnp.any(visible) & any_neg & (k_lo <= k_hi)
 
         def run_single(pk, dn, osf, otf, win_rev: bool):
             # windowed batch loop: only visible plane batches are swept.
