@@ -357,6 +357,98 @@ def sharded_icp_point_plane(points_live, points_ref, normals_ref, KT_lr, T_rl,
 
 
 # --------------------------------------------------------------------------
+# Reshard-strategy SGM: column shards for vertical paths, one all_to_all,
+# row shards for horizontal paths — every recurrence stays ON-chip.
+# --------------------------------------------------------------------------
+
+
+def sharded_semi_global_matching_reshard(vol, img, P1, P2, mesh, sd: int = -1):
+    """4-path SGM where each path family runs on the axis it is INDEPENDENT
+    over: vertical scans are per-column recurrences, so the volume starts
+    column-sharded and each chip runs its full-height scans locally (the
+    streaming Pallas kernel on TPU — no carry ever crosses a chip); one
+    ``all_to_all`` reshards the volume + the vertical accumulator to row
+    shards; horizontal scans run locally there. Exactly the single-device
+    recurrences — no wavefront approximant — at the cost of two volume
+    all_to_alls over ICI (~vol_bytes/n per chip each).
+
+    Complements :func:`sharded_semi_global_matching` (the carry-wavefront
+    strategy, which also supports the 8-path diagonals and keeps one
+    sharding throughout). vol is (D, H, W) replicated or arbitrarily
+    sharded; returns the aggregated (D, H, W) volume row-sharded.
+    """
+    from .. import backend
+    from ..stereo import sgm as sgm_mod
+    from ..stereo import sgm_pallas as sp
+
+    D, H, W = vol.shape
+    n = mesh.devices.size
+    assert H % n == 0 and W % n == 0, "H and W must divide the mesh"
+    mask_left = sd < 0
+
+    def local(v_cols, img_rep):
+        idx = jax.lax.axis_index(AXIS)
+        nsh = jax.lax.axis_size(AXIS)
+        Ws = v_cols.shape[2]
+        Hs = H // n
+        off = idx * Ws
+        v32 = v_cols.astype(jnp.float32)
+        img_cols = jax.lax.dynamic_slice(img_rep, (0, off), (H, Ws))
+
+        # ---- vertical pair on local columns (full-height recurrences)
+        use_pallas = backend.use_pallas(H % sp.ROWS_PER_STEP == 0)
+        if use_pallas:
+            acc_v = sp.sgm_aggregate_scan(
+                v32, img_cols, P1, P2, True,
+                "left" if mask_left else "right", scan_is_x=False,
+                width=W, lane_offset=off)
+        else:
+            vhwd = jnp.moveaxis(v32, 0, -1)  # (H, Ws, D)
+            d = jnp.arange(D)[None, None, :]
+            x = (off + jnp.arange(Ws))[None, :, None]
+            dm = jnp.broadcast_to((d <= x) if mask_left else (x + d < W),
+                                  (H, Ws, D))
+            agg = sgm_mod._scan_direction(vhwd, img_cols, dm, P1, P2, False)
+            agg = agg + sgm_mod._scan_direction(vhwd, img_cols, dm, P1, P2,
+                                                True)
+            acc_v = jnp.moveaxis(agg, -1, 0)  # (D, H, Ws)
+
+        # ---- reshard: (D, H, Ws) column shards -> (D, Hs, W) row shards
+        acc_vr = jax.lax.all_to_all(acc_v, AXIS, split_axis=1, concat_axis=2,
+                                    tiled=True)
+        v_rows = jax.lax.all_to_all(v32, AXIS, split_axis=1, concat_axis=2,
+                                    tiled=True)
+        img_rows = jax.lax.dynamic_slice(img_rep, (idx * Hs, 0), (Hs, W))
+
+        # ---- horizontal pair on local rows
+        if use_pallas:
+            vt3 = jnp.transpose(v_rows, (0, 2, 1))  # (D, W, Hs)
+            agg3 = sp.sgm_aggregate_scan(
+                vt3, jnp.swapaxes(img_rows, 0, 1), P1, P2, True,
+                "left" if mask_left else "right", scan_is_x=True, width=W)
+            out = acc_vr + jnp.transpose(agg3, (0, 2, 1))
+        else:
+            vwhd = jnp.moveaxis(jnp.swapaxes(v_rows, 1, 2), 0, -1)  # (W, Hs, D)
+            d = jnp.arange(D)[None, None, :]
+            x = jnp.arange(W)[:, None, None]
+            dm = jnp.broadcast_to((d <= x) if mask_left else (x + d < W),
+                                  (W, Hs, D))
+            it = jnp.swapaxes(img_rows, 0, 1)
+            agg = sgm_mod._scan_direction(vwhd, it, dm, P1, P2, False)
+            agg = agg + sgm_mod._scan_direction(vwhd, it, dm, P1, P2, True)
+            out = acc_vr + jnp.moveaxis(jnp.swapaxes(agg, 0, 1), -1, 0)
+        return out
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None, AXIS), P()),
+        out_specs=P(None, AXIS, None),
+        check_vma=False,
+    )
+    return f(vol, img)
+
+
+# --------------------------------------------------------------------------
 # Row-sharded SGM: wavefront vertical scans + local horizontal scans
 # --------------------------------------------------------------------------
 
@@ -407,13 +499,29 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
 
         out = jnp.zeros_like(v)
 
-        # ---- horizontal paths: rows are local to the shard
-        vt = jnp.swapaxes(v, 0, 1)  # (W, Hs, D)
-        it = jnp.swapaxes(img_blk, 0, 1)
-        mt = jnp.swapaxes(dmask, 0, 1)
-        agg = sgm_mod._scan_direction(vt, it, mt, P1, P2, reverse=False)
-        agg = agg + sgm_mod._scan_direction(vt, it, mt, P1, P2, reverse=True)
-        out = out + jnp.swapaxes(agg, 0, 1)
+        # ---- horizontal paths: rows are local to the shard. On TPU the
+        # per-shard work runs the streaming Pallas kernel (pallas_call
+        # composes with shard_map; shard rows ride the lane axis as the
+        # full-array dim); the XLA scan remains the portable path (and the
+        # one the virtual CPU test mesh exercises).
+        from .. import backend
+        from ..stereo import sgm_pallas as sp
+
+        if backend.use_pallas(W % sp.ROWS_PER_STEP == 0):
+            vt3 = jnp.transpose(v, (2, 1, 0))  # (D, W, Hs): scan along x
+            it = jnp.swapaxes(img_blk, 0, 1)
+            agg3 = sp.sgm_aggregate_scan(
+                vt3, it, P1, P2, True,
+                "left" if mask_mode_left else "right",
+                scan_is_x=True, width=W)
+            out = out + jnp.transpose(agg3, (2, 1, 0))
+        else:
+            vt = jnp.swapaxes(v, 0, 1)  # (W, Hs, D)
+            it = jnp.swapaxes(img_blk, 0, 1)
+            mt = jnp.swapaxes(dmask, 0, 1)
+            agg = sgm_mod._scan_direction(vt, it, mt, P1, P2, reverse=False)
+            agg = agg + sgm_mod._scan_direction(vt, it, mt, P1, P2, reverse=True)
+            out = out + jnp.swapaxes(agg, 0, 1)
 
         # ---- vertical wavefronts: column-block pipelined, both directions
         # overlapped. The vertical recurrence is sequential over ROWS, but

@@ -34,7 +34,7 @@ ROWS_PER_STEP = 8
 
 
 def _make_kernel(P1, R, total, width, mask_mode, scan_is_x, reverse: bool,
-                 accumulate: bool):
+                 accumulate: bool, with_offset: bool = False):
     """Kernel factory. Blocks are (D, R, N): disparity x rows x line-axis.
     ``scan_is_x``: the scan axis is the image x axis (volume pre-transposed
     to (D, W, H)), so the valid-disparity set moves with the scan position
@@ -46,9 +46,13 @@ def _make_kernel(P1, R, total, width, mask_mode, scan_is_x, reverse: bool,
     the aliased accumulator block — path directions chain through one
     buffer in-kernel instead of materialising per-direction volumes for
     XLA-side adds (each chained direction saves a full f32 volume write +
-    read)."""
+    read). ``with_offset`` adds an SMEM scalar input holding the GLOBAL x
+    of lane 0 (a column-sharded caller's shard offset), so the
+    valid-disparity mask uses absolute image x."""
 
     def kernel(vol_ref, p2_ref, *refs):
+        if with_offset:
+            off_ref, refs = refs[0], refs[1:]
         if accumulate:
             acc_ref, out_ref, prev, best = refs
         else:
@@ -61,6 +65,8 @@ def _make_kernel(P1, R, total, width, mask_mode, scan_is_x, reverse: bool,
             static_mask = None
         else:
             x = jax.lax.broadcasted_iota(jnp.int32, (D, N), 1)
+            if with_offset:
+                x = x + off_ref[0]
             static_mask = (dsub <= x) if mask_mode == "left" else (x + dsub < width)
 
         def pos_mask(xpos):
@@ -133,9 +139,11 @@ def _p2_rows(img, P2, reverse: bool):
 
 
 def _aggregate_direction(vol, p2, P1, mask_mode, scan_is_x, width,
-                         reverse: bool, acc=None):
+                         reverse: bool, acc=None, lane_offset=None):
     """One path direction along axis 1 of vol (D, S, N). With ``acc`` the
-    direction is added onto it via an aliased accumulator (no XLA add)."""
+    direction is added onto it via an aliased accumulator (no XLA add);
+    ``lane_offset`` (traced scalar) is the global x of lane 0 for
+    column-sharded callers."""
     D, S, N = vol.shape
     R = ROWS_PER_STEP
     n_blocks = S // R
@@ -145,17 +153,20 @@ def _aggregate_direction(vol, p2, P1, mask_mode, scan_is_x, width,
         blk = lambda g: (0, g, 0)
 
     kernel = _make_kernel(P1, R, S, width, mask_mode, scan_is_x, reverse,
-                          acc is not None)
+                          acc is not None, with_offset=lane_offset is not None)
     in_specs = [
         pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, R, N), blk, memory_space=pltpu.VMEM),
     ]
     operands = [vol, p2]
     kwargs = {}
+    if lane_offset is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        operands.append(jnp.asarray(lane_offset, jnp.int32).reshape(1))
     if acc is not None:
         in_specs.append(pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM))
         operands.append(acc)
-        kwargs["input_output_aliases"] = {2: 0}
+        kwargs["input_output_aliases"] = {len(operands) - 1: 0}
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -178,7 +189,7 @@ def _aggregate_direction(vol, p2, P1, mask_mode, scan_is_x, width,
 )
 def sgm_aggregate_scan(vol, img, P1=0.01, P2=0.02, do_reverse: bool = True,
                        mask_mode: str = "left", scan_is_x: bool = False,
-                       width: int | None = None, acc=None):
+                       width: int | None = None, acc=None, lane_offset=None):
     """Aggregate along axis 1 of vol (D, S, N), both path directions chained
     through one in-kernel accumulator; img is (S, N). Returns the summed
     (D, S, N) contribution (added onto ``acc`` when given)."""
@@ -195,10 +206,11 @@ def sgm_aggregate_scan(vol, img, P1=0.01, P2=0.02, do_reverse: bool = True,
     p2r = _p2_rows(img, P2, reverse=True)
 
     out = _aggregate_direction(vol, p2f, P1, mask_mode, scan_is_x, width,
-                               reverse=False, acc=acc)
+                               reverse=False, acc=acc, lane_offset=lane_offset)
     if do_reverse:
         out = _aggregate_direction(vol, p2r, P1, mask_mode, scan_is_x, width,
-                                   reverse=True, acc=out)
+                                   reverse=True, acc=out,
+                                   lane_offset=lane_offset)
     return out
 
 

@@ -129,3 +129,34 @@ class TestLrPallas:
             lp.left_right_check(jnp.asarray(dl), jnp.asarray(dr), sd, 1.0, max_disp=16)
         )
         np.testing.assert_allclose(a, b, equal_nan=True)
+
+
+class TestSgmLaneOffset:
+    def test_column_shard_offset_matches_xla(self, interpret, rng):
+        """The lane_offset SMEM scalar (column-sharded callers) must shift
+        the valid-disparity mask to absolute image x."""
+        from kangaroo_tpu.stereo import sgm as sx
+        from kangaroo_tpu.stereo import sgm_pallas as sp
+
+        D, H, W = 16, 16, 256
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        # full-image vertical aggregation as reference
+        d = np.arange(D)[:, None, None]
+        x = np.arange(W)[None, None, :]
+        dm = jnp.asarray(np.broadcast_to(d <= x, (D, H, W)).transpose(1, 2, 0))
+        v_hwd = jnp.moveaxis(vol, 0, -1)
+        ref = sx._scan_direction(v_hwd, img, dm, 0.01, 0.02, False)
+        ref = ref + sx._scan_direction(v_hwd, img, dm, 0.01, 0.02, True)
+        ref = np.asarray(jnp.moveaxis(ref, -1, 0))
+        # column-sharded emulation: two halves with lane offsets
+        halves = []
+        for off in (0, W // 2):
+            sl = vol[:, :, off:off + W // 2]
+            im = img[:, off:off + W // 2]
+            halves.append(np.asarray(sp.sgm_aggregate_scan(
+                sl, im, 0.01, 0.02, True, "left", scan_is_x=False,
+                width=W, lane_offset=off)))
+        got = np.concatenate(halves, axis=2)
+        m = np.broadcast_to(d <= x, (D, H, W))
+        np.testing.assert_allclose(got[m], ref[m], atol=1e-5)

@@ -89,6 +89,40 @@ class TestShardedSgm:
         m = np.broadcast_to(d <= x, (D, H, W))
         np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-5)
 
+    def test_reshard_strategy_matches_single_device(self, mesh, rng):
+        # column shards for vertical paths + all_to_all + row shards for
+        # horizontal: exactly the single-device recurrences, no wavefront
+        from kangaroo_tpu.stereo import sgm as sx
+
+        D, H, W = 8, 32, 16
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        want = np.asarray(sx.semi_global_matching(vol, img, 0.03, 0.1))
+        got = np.asarray(
+            sharding.sharded_semi_global_matching_reshard(
+                vol, img, 0.03, 0.1, mesh)
+        )
+        d = np.arange(D)[:, None, None]
+        x = np.arange(W)[None, None, :]
+        m = np.broadcast_to(d <= x, (D, H, W))
+        np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-5)
+
+    def test_reshard_right_volume(self, mesh, rng):
+        from kangaroo_tpu.stereo import sgm as sx
+
+        D, H, W = 8, 32, 16
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        want = np.asarray(sx.semi_global_matching(vol, img, 0.03, 0.1, sd=1))
+        got = np.asarray(
+            sharding.sharded_semi_global_matching_reshard(
+                vol, img, 0.03, 0.1, mesh, sd=1)
+        )
+        d = np.arange(D)[:, None, None]
+        x = np.arange(W)[None, None, :]
+        m = np.broadcast_to(x + d < W, (D, H, W))
+        np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-5)
+
     def test_wavefront_right_volume(self, mesh, rng):
         # sd=+1 (right-anchored lattice) through the sharded wavefront
         from kangaroo_tpu.stereo import sgm as sx
