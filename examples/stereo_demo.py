@@ -28,6 +28,10 @@ def main():
                     help="JSON camera-rig file (io/rig.py schema): intrinsics "
                          "and baseline come from it, like the reference's "
                          "-cmod camera models (stereo/main.cpp:103-110)")
+    ap.add_argument("--heightmap", action="store_true",
+                    help="run the full stereo2 app tail (Stereo2App): plane "
+                         "fit + heightmap fusion + heightmap mesh export "
+                         "(stereo2/main.cpp:503-536)")
     args = ap.parse_args()
 
     from kangaroo_tpu import Intrinsics
@@ -40,7 +44,23 @@ def main():
     _common.save_png(f"{out}/left.png", left)
     _common.save_png(f"{out}/gt_disp.png", gt)
 
-    if args.mode == "sgm":
+    if args.mode == "sgm" and args.heightmap:
+        # the full stereo2 app: SGM -> vbo -> PlaneFitGN -> HeightmapFusion
+        from kangaroo_tpu.fusion.marching_cubes import save_ply as save_hm
+
+        K0 = Intrinsics.centered(args.width * 0.9, args.width, args.height)
+        app = stereo_sgm.Stereo2App(
+            K0, args.baseline,
+            stereo_sgm.SgmConfig(max_disp=args.maxdisp, census_window="9x7"),
+            hm_size=(4.0, 4.0), hm_cell=0.02, min_disp=1.0)
+        disp, d3d = app(left, right, image=left)
+        n = np.asarray(app.n_c)
+        print(f"plane fit: n_c = {n}, plane depth on axis = {-1.0/n[2]:.3f} m")
+        app.hm.save_mesh(f"{out}/heightmap_sgm.ply")
+        counts = np.asarray(app.hm.hm[..., 1])
+        print(f"heightmap: {int((counts > 0).sum())} fused cells "
+              f"-> {out}/heightmap_sgm.ply")
+    elif args.mode == "sgm":
         cfg = stereo_sgm.SgmConfig(max_disp=args.maxdisp, census_window="9x7")
         disp = stereo_sgm.sgm_pipeline(left, right, cfg)
     elif args.mode == "multiview":

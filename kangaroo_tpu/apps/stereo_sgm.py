@@ -148,15 +148,29 @@ class Stereo2App:
             if heightmap else None
         self._hm_init = False
 
-    def _fit_plane(self, d3d, iterations: int):
+    def _fit_plane(self, d3d, reset: bool):
         from ..solvers import plane_fit as pf
 
         if self.Qinv is None:
             H, W = d3d.shape[:2]
             self.Qinv = pf.make_q_inv(self.K, W, H)
-        self.n_c, self.z = pf.fit_plane(
-            d3d, self.Qinv, z0=self.z, iterations=iterations,
-            zmax=self.plane_within, c=self.plane_c)
+        if reset:
+            # The reference's resetPlane runs 105 GN steps at one fixed c
+            # from the fixed initial plane (z = 1/5, main.cpp:132) — whose
+            # Tukey basin misses scenes at other depths; the app relies on
+            # interactive slider nudging there (PARITY deviation 14). We
+            # anneal c over the same 105-step budget so the reset captures
+            # the dominant plane from any plausible depth, then the steady
+            # 5-step refinement runs at plane_c exactly like main.cpp:508.
+            for cc, its in ((16 * self.plane_c, 35), (4 * self.plane_c, 35),
+                            (self.plane_c, 35)):
+                self.n_c, self.z = pf.fit_plane(
+                    d3d, self.Qinv, z0=self.z, iterations=its,
+                    zmax=self.plane_within, c=cc)
+        else:
+            self.n_c, self.z = pf.fit_plane(
+                d3d, self.Qinv, z0=self.z, iterations=5,
+                zmax=self.plane_within, c=self.plane_c)
 
     def __call__(self, left, right, T_wc=None, image=None):
         """Process one rectified frame; returns (disp, d3d, heightmap-state).
@@ -175,9 +189,9 @@ class Stereo2App:
         d3d = depth_mod.depth_from_disparity_vbo(
             disp, self.K, self.baseline, min_disp=self.min_disp)
         if self.do_plane:
-            first = self.z is None
-            # resetPlane runs 100+5 iterations, steady state 5 (main.cpp:508)
-            self._fit_plane(d3d, 105 if first else 5)
+            # resetPlane runs the 105-step (annealed) schedule on the first
+            # frame, steady state 5 steps (main.cpp:508)
+            self._fit_plane(d3d, reset=self.z is None)
         if self.do_heightmap:
             if not self._hm_init:
                 if self.n_c is not None:

@@ -250,10 +250,11 @@ class TestStereo2Tail:
         W, H, D = 128, 96, 32
         left, right, gt = synthetic.stereo_pair(W, H, D, seed=1)
         K = kt.Intrinsics.centered(100.0, W, H)
-        # background disp D//4 = 8 -> depth fu*b/8 = 5.0, inside the Tukey
-        # basin of the reference's initial plane z = 1/5 (main.cpp:132);
-        # the box at depth 1.67 is the outlier the robust fit must reject
-        baseline = 0.4
+        # background disp D//4 = 8 -> depth fu*b/8 = 2.5 — OUTSIDE the
+        # Tukey basin of the fixed initial plane z = 1/5 (main.cpp:132):
+        # the annealed reset schedule must still capture it. The box at
+        # depth 0.83 is the outlier the robust fit must reject.
+        baseline = 0.2
         app = stereo_sgm.Stereo2App(
             K, baseline,
             stereo_sgm.SgmConfig(max_disp=D, census_window="9x7"),
@@ -261,7 +262,7 @@ class TestStereo2Tail:
         disp, d3d = app(left, right)
         n = np.asarray(app.n_c)
         z_plane = -1.0 / n[2]
-        assert abs(z_plane - 5.0) < 0.3, n
+        assert abs(z_plane - 2.5) < 0.2, n
         assert abs(n[0]) < 0.05 and abs(n[1]) < 0.05
         # heightmap initialised from the plane and fused real cells
         vbo, img = app.hm.world_vbo()

@@ -94,3 +94,34 @@ class TestTimer:
         t.stop()
         assert t.avg >= 0 and t.min <= t.max and len(t.times) == 2
         t.print_summary()
+
+
+class TestBenchPerfRegen:
+    def test_update_perf_headline_rewrites_sentinel_block(self, tmp_path):
+        """bench.py's doc regeneration: the sentinel block is replaced with
+        this run's numbers and the rest of the file is untouched."""
+        import bench
+
+        p = tmp_path / "PERF.md"
+        p.write_text(
+            "# header\n\nprose before\n\n"
+            "<!-- BENCH:BEGIN (auto-written by bench.py) -->\n"
+            "| old | table |\n"
+            "<!-- BENCH:END -->\n\nprose after\n")
+        cfgs = {
+            "sgm_stereo_8path_fps": 200.0,
+            "fuse_raycast_256_vga_ms": 5.0,
+            "kinectfusion_frame_one_jit_ms": 6.0,
+            "dtam_stereo_frame_ms": 8.0,
+        }
+        bench.update_perf_headline(300.0, cfgs, path=str(p))
+        text = p.read_text()
+        assert "old | table" not in text
+        assert "300.0 fps" in text
+        assert "**6.00 ms" in text
+        assert text.startswith("# header")
+        assert text.rstrip().endswith("prose after")
+        # idempotent: a second run replaces, not appends
+        bench.update_perf_headline(310.0, cfgs, path=str(p))
+        text2 = p.read_text()
+        assert "300.0 fps" not in text2 and "310.0 fps" in text2
