@@ -13,11 +13,9 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from ..ops import median as median_mod
 from ..stereo import census as census_mod
 from ..stereo import costvolume as cv
 from ..stereo import dispatch as fast
-from ..stereo import sgm as sgm_mod
 
 
 @dataclasses.dataclass

@@ -304,13 +304,18 @@ class TestProductionScale:
         vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
         img = jnp.asarray(rng.random((H, W)).astype(np.float32))
         want = np.asarray(sx.semi_global_matching(vol, img, 0.01, 0.02))
-        got = np.asarray(
-            sharding.sharded_semi_global_matching(vol, img, 0.01, 0.02, mesh)
-        )
         d = np.arange(D)[:, None, None]
         x = np.arange(W)[None, None, :]
         m = np.broadcast_to(d <= x, (D, H, W))
+        got = np.asarray(
+            sharding.sharded_semi_global_matching(vol, img, 0.01, 0.02, mesh)
+        )
         np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-4)
+        got_r = np.asarray(
+            sharding.sharded_semi_global_matching_reshard(
+                vol, img, 0.01, 0.02, mesh)
+        )
+        np.testing.assert_allclose(got_r[m], want[m], rtol=1e-4, atol=1e-4)
 
 
 class TestHaloStencil:
