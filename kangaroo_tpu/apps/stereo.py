@@ -53,14 +53,25 @@ class StereoConfig:
 
 
 def cost_volume(left, right, cfg: StereoConfig, sd: int = -1):
-    """Census (or truncated abs-grad) cost volume (main.cpp:314-331)."""
+    """Census (or truncated abs-grad) cost volume (main.cpp:314-331).
+
+    Census volumes with a power-of-two normaliser store bfloat16 (every
+    cost k/256 is bf16-exact, so the DTAM auxiliary search streams half
+    the HBM bytes per iteration, bit-identically — same argument as the
+    SGM pipeline); guided filtering needs f32 (its box-mean arithmetic is
+    not power-of-two exact)."""
     if cfg.use_census:
         cl = census_mod.census(left, cfg.census_window)
         cr = census_mod.census(right, cfg.census_window)
         bits = census_mod.norm_bits(cfg.census_window)
+        dtype = (jnp.bfloat16
+                 if bits & (bits - 1) == 0 and not cfg.filter_volume
+                 else jnp.float32)
         if sd < 0:
-            return census_mod.census_cost_volume(cl, cr, cfg.max_disp, -1, bits)
-        return census_mod.census_cost_volume(cr, cl, cfg.max_disp, 1, bits)
+            return census_mod.census_cost_volume(cl, cr, cfg.max_disp, -1,
+                                                 bits, dtype=dtype)
+        return census_mod.census_cost_volume(cr, cl, cfg.max_disp, 1,
+                                             bits, dtype=dtype)
     imgs = (left, right) if sd < 0 else (right, left)
     return cv.cost_volume_from_stereo_truncated_abs_and_grad(
         imgs[0].astype(jnp.float32), imgs[1].astype(jnp.float32),
@@ -76,9 +87,22 @@ def dtam_solve(vol, img_left, lam, theta_start, sigma_q, sigma_d, huber_alpha,
     Each iteration: weighted-Huber dual ascent on q, weighted primal descent
     on d, exhaustive auxiliary search with square penalty, theta annealing
     theta *= (1 - beta*n).
+
+    On TPU, when the volume + field planes fit VMEM, the whole alternation
+    runs inside ONE Pallas kernel with the cost volume resident in VMEM
+    (stereo/dtam_pallas.py) — the XLA fori_loop below re-streams the volume
+    from HBM on every auxiliary search and is kept as the bit-identical
+    fallback twin.
     """
+    from .. import backend
+    from ..stereo import dtam_pallas
+
     g = cv.exponential_edge_weight(img_left.astype(jnp.float32) / 255.0, g_alpha, g_beta)
     d0 = fast.cost_vol_minimum_subpix(vol, sd)
+    if backend.use_pallas(dtam_pallas.fits(vol)):
+        return dtam_pallas.dtam_solve(vol, g, d0, lam, theta_start, sigma_q,
+                                      sigma_d, huber_alpha, beta,
+                                      iterations=iterations, sd=sd)
     a0 = d0
     q0 = jnp.zeros(d0.shape + (2,), jnp.float32)
 

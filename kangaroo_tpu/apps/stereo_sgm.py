@@ -110,6 +110,83 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
     return disp_l
 
 
+def sgm_pipeline_batched(lefts, rights, cfg: SgmConfig = SgmConfig()):
+    """Offline-throughput SGM over a frame batch on ONE chip.
+
+    Frames stack along the row axis and aggregate in a SINGLE streaming
+    Pallas pass with paths re-seeded at every frame seam (sgm_pallas
+    ``seam_period``). Vertical paths re-seed at seams; horizontal paths
+    and the WTA / re-anchor / LR stages are row-independent and run
+    stacked; the 5x5 median (a row stencil) runs per frame. 4-path only.
+    Returns (B, H, W) disparity; falls back to a per-frame loop off-TPU.
+
+    Measured on the v5e (docs/PERF.md): one-chip batching is ~linear in B
+    whichever way it is expressed — the per-frame kernels already fill the
+    chip — so this mode buys one dispatch per batch, not throughput;
+    throughput scaling comes from more chips
+    (parallel.batch.frame_parallel). Stacking (13.6 ms at B=4) slightly
+    beats vmapping the pipeline (14.4 ms) and matches B independent
+    per-frame subgraphs in one jit (12.6 ms by device trace).
+    """
+    from .. import backend
+    from ..stereo import sgm_pallas as sp
+
+    B, H, W = lefts.shape
+    if not backend.use_pallas(H % sp.ROWS_PER_STEP == 0
+                              and not cfg.do_diagonal and cfg.lr_from_left):
+        return jnp.stack([sgm_pipeline(lefts[k], rights[k], cfg)
+                          for k in range(B)])
+
+    bits = census_mod.norm_bits(cfg.census_window)
+    vol_dtype = jnp.bfloat16 if bits & (bits - 1) == 0 else jnp.float32
+    # census runs per frame (its window stencil must not read across frame
+    # seams), but the cost volume builds directly on the STACKED census
+    # images: the per-disparity shift is a lane roll along x, row-local, so
+    # stacking along rows is transparent — no (D, B*H, W) volume concat.
+    cls, crs = [], []
+    for k in range(B):
+        cls.append(census_mod.census(lefts[k], cfg.census_window))
+        crs.append(census_mod.census(rights[k], cfg.census_window))
+    cl_s = jnp.concatenate(cls, axis=0)
+    cr_s = jnp.concatenate(crs, axis=0)
+    vol_s = census_mod.census_cost_volume(cl_s, cr_s, cfg.max_disp, -1,
+                                          bits, dtype=vol_dtype)
+    img_s = lefts.reshape(B * H, W).astype(jnp.float32)
+    agg_l = sp.semi_global_matching(vol_s, img_s, cfg.p1, cfg.p2,
+                                    cfg.do_horiz, cfg.do_vert,
+                                    cfg.do_reverse, seam_period=H)
+    if cfg.subpix:
+        disp_l = fast.cost_vol_minimum_subpix(agg_l, -1)
+    else:
+        disp_l = cv.cost_vol_minimum(agg_l, cfg.max_disp).astype(jnp.float32)
+    if cfg.lr_check:
+        D = cfg.max_disp
+        agg_r = jnp.stack(
+            [jnp.roll(agg_l[d], -d, axis=1) for d in range(D)], axis=0)
+        if cfg.subpix:
+            disp_r = fast.cost_vol_minimum_subpix(agg_r, 1)
+        else:
+            disp_r = cv.cost_vol_minimum(agg_r, cfg.max_disp).astype(jnp.float32)
+
+    def median_per_frame(d2):
+        # the 5x5 stencil must not read across frame seams
+        return jnp.concatenate(
+            [fast.median_filter_reject_invalid(d2[k * H:(k + 1) * H],
+                                               cfg.median_max_bad, rad=2)
+             for k in range(B)], axis=0)
+
+    for _ in range(cfg.median_its):
+        disp_l = median_per_frame(disp_l)
+        if cfg.lr_check:
+            disp_r = median_per_frame(disp_r)
+    if cfg.lr_check:
+        disp_r = fast.left_right_check(disp_r, disp_l, 1, cfg.max_disp_diff,
+                                       max_disp=cfg.max_disp)
+        disp_l = fast.left_right_check(disp_l, disp_r, -1, cfg.max_disp_diff,
+                                       max_disp=cfg.max_disp)
+    return disp_l.reshape(B, H, W)
+
+
 class Stereo2App:
     """Stateful stereo2 driver: SGM disparity + the app tail
     (stereo2/main.cpp:374-536).

@@ -47,7 +47,8 @@ def cost_vol_minimum_subpix(vol, sd: int = -1):
     when the best match pixel is strictly interior and the fitted minimum lies
     within (best-1, best+1).
     """
-    D, H, W = vol.shape
+    vol = vol.astype(jnp.float32)  # bf16 volumes: arithmetic in f32, like
+    D, H, W = vol.shape            # the Pallas twin's in-kernel upcast
     ok = _xr_valid(W, D, sd)[:, None, :]
     masked = jnp.where(ok, vol, _BIG)
     bestd = jnp.argmin(masked, axis=0)
@@ -72,6 +73,7 @@ def cost_vol_minimum_square_penalty_subpix(vol, last_disp, lam, theta, sd: int =
     """Auxiliary-variable exhaustive search of the DTAM alternation:
     argmin_d 1/(2 theta) (lastd - d)^2 + lambda C(x, d), plus Newton subpixel
     step (CostVolMinimumSquarePenaltySubpix, cu_dense_stereo.cu:123-174)."""
+    vol = vol.astype(jnp.float32)  # see cost_vol_minimum_subpix
     D, H, W = vol.shape
     inv2theta = 1.0 / (2.0 * theta)
     d = jnp.arange(D, dtype=jnp.float32)[:, None, None]

@@ -6,6 +6,14 @@ possible integer column offsets k = x - int(x + sd*dl) in [-1, max_disp):
 each step is a lane roll plus a select, all in VMEM. Wrapped lanes are always
 masked out by the in-bounds test. Matches costvolume.left_right_check
 (LeftRightCheck, cu_dense_stereo.cu:512-546) exactly.
+
+The check is purely row-local, so the kernel runs on row blocks (grid over
+H // R): VMEM use and Mosaic program size stay bounded no matter how tall
+the image is — stacked frame batches (apps.stereo_sgm.sgm_pipeline_batched
+concatenates B frames along rows) reuse the same block program. A
+whole-image (H, W) block instead made the compiler's live set scale with
+H x the unrolled 65-offset sweep (the compile helper OOM-crashed at 960
+rows).
 """
 from __future__ import annotations
 
@@ -15,6 +23,15 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _row_block(H: int) -> int:
+    """Largest row-block size that divides H, is a lane-tiling multiple of 8
+    and keeps the block small (<=128 rows); 0 if none (whole-image block)."""
+    for r in range(min(H, 128), 0, -8):
+        if r % 8 == 0 and H % r == 0:
+            return r
+    return 0
 
 
 def _lr_kernel(dl_ref, dr_ref, out_ref, *, sd, max_disp, max_diff, W):
@@ -39,15 +56,20 @@ def _lr_kernel(dl_ref, dr_ref, out_ref, *, sd, max_disp, max_diff, W):
 def left_right_check(disp_l, disp_r, sd: int = -1, max_diff: float = 1.0,
                      max_disp: int = 192):
     H, W = disp_l.shape
+    R = _row_block(H)
+    if R:
+        grid = (H // R,)
+        spec = pl.BlockSpec((R, W), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    else:
+        grid = (1,)
+        spec = pl.BlockSpec((H, W), lambda g: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(
             _lr_kernel, sd=sd, max_disp=max_disp, max_diff=max_diff, W=W
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=grid,
+        in_specs=[spec, spec],
+        out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
     )(disp_l.astype(jnp.float32), disp_r.astype(jnp.float32))

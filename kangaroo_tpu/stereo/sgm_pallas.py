@@ -34,7 +34,8 @@ ROWS_PER_STEP = 8
 
 
 def _make_kernel(P1, R, total, width, mask_mode, scan_is_x, reverse: bool,
-                 accumulate: bool, with_offset: bool = False):
+                 accumulate: bool, with_offset: bool = False,
+                 seam_blocks: int | None = None):
     """Kernel factory. Blocks are (D, R, N): disparity x rows x line-axis.
     ``scan_is_x``: the scan axis is the image x axis (volume pre-transposed
     to (D, W, H)), so the valid-disparity set moves with the scan position
@@ -48,7 +49,11 @@ def _make_kernel(P1, R, total, width, mask_mode, scan_is_x, reverse: bool,
     XLA-side adds (each chained direction saves a full f32 volume write +
     read). ``with_offset`` adds an SMEM scalar input holding the GLOBAL x
     of lane 0 (a column-sharded caller's shard offset), so the
-    valid-disparity mask uses absolute image x."""
+    valid-disparity mask uses absolute image x. ``seam_blocks`` makes the
+    scan re-SEED every that-many grid blocks: a batch of frames stacked
+    along the scan axis aggregates in ONE streaming pass with paths
+    restarting at every frame seam (the offline-throughput mode — vmapping
+    the kernel instead serialises it)."""
 
     def kernel(vol_ref, p2_ref, *refs):
         if with_offset:
@@ -107,6 +112,14 @@ def _make_kernel(P1, R, total, width, mask_mode, scan_is_x, reverse: bool,
             prev[:] = cr
             best[:] = jnp.broadcast_to(jnp.min(cr, axis=0, keepdims=True), best.shape)
 
+        # path (re)start predicate: block 0, and every frame seam when a
+        # frame batch is stacked along the scan axis. Plain ``g == 0`` when
+        # there are no seams — identical program to the pre-seam kernel.
+        if seam_blocks is None:
+            at_seam, not_seam = g == 0, g > 0
+        else:
+            at_seam = g % seam_blocks == 0
+            not_seam = g % seam_blocks != 0
         for ii in range(R):
             i = R - 1 - ii if reverse else ii  # in-block row
             pos = g * R + ii                   # stream position
@@ -114,11 +127,11 @@ def _make_kernel(P1, R, total, width, mask_mode, scan_is_x, reverse: bool,
             c = vol_ref[:, i, :]
             m = pos_mask(abs_pos)
             if ii == 0:
-                @pl.when(g == 0)
+                @pl.when(at_seam)
                 def _(c=c, i=i, m=m):
                     seed(c, i, m)
 
-                @pl.when(g > 0)
+                @pl.when(not_seam)
                 def _(c=c, i=i, m=m):
                     step(c, i, m)
             else:
@@ -139,11 +152,13 @@ def _p2_rows(img, P2, reverse: bool):
 
 
 def _aggregate_direction(vol, p2, P1, mask_mode, scan_is_x, width,
-                         reverse: bool, acc=None, lane_offset=None):
+                         reverse: bool, acc=None, lane_offset=None,
+                         seam_period: int | None = None):
     """One path direction along axis 1 of vol (D, S, N). With ``acc`` the
     direction is added onto it via an aliased accumulator (no XLA add);
     ``lane_offset`` (traced scalar) is the global x of lane 0 for
-    column-sharded callers."""
+    column-sharded callers; ``seam_period`` (static rows) re-seeds the
+    paths every that-many rows (stacked frame batches)."""
     D, S, N = vol.shape
     R = ROWS_PER_STEP
     n_blocks = S // R
@@ -152,8 +167,14 @@ def _aggregate_direction(vol, p2, P1, mask_mode, scan_is_x, width,
     else:
         blk = lambda g: (0, g, 0)
 
+    seam_blocks = None
+    if seam_period is not None:
+        assert seam_period % R == 0 and S % seam_period == 0
+        assert not scan_is_x, "stacking is along the row scan axis"
+        seam_blocks = seam_period // R
     kernel = _make_kernel(P1, R, S, width, mask_mode, scan_is_x, reverse,
-                          acc is not None, with_offset=lane_offset is not None)
+                          acc is not None, with_offset=lane_offset is not None,
+                          seam_blocks=seam_blocks)
     in_specs = [
         pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, R, N), blk, memory_space=pltpu.VMEM),
@@ -185,11 +206,13 @@ def _aggregate_direction(vol, p2, P1, mask_mode, scan_is_x, width,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("P1", "P2", "do_reverse", "mask_mode", "scan_is_x", "width"),
+    static_argnames=("P1", "P2", "do_reverse", "mask_mode", "scan_is_x",
+                     "width", "seam_period"),
 )
 def sgm_aggregate_scan(vol, img, P1=0.01, P2=0.02, do_reverse: bool = True,
                        mask_mode: str = "left", scan_is_x: bool = False,
-                       width: int | None = None, acc=None, lane_offset=None):
+                       width: int | None = None, acc=None, lane_offset=None,
+                       seam_period: int | None = None):
     """Aggregate along axis 1 of vol (D, S, N), both path directions chained
     through one in-kernel accumulator; img is (S, N). Returns the summed
     (D, S, N) contribution (added onto ``acc`` when given)."""
@@ -206,22 +229,25 @@ def sgm_aggregate_scan(vol, img, P1=0.01, P2=0.02, do_reverse: bool = True,
     p2r = _p2_rows(img, P2, reverse=True)
 
     out = _aggregate_direction(vol, p2f, P1, mask_mode, scan_is_x, width,
-                               reverse=False, acc=acc, lane_offset=lane_offset)
+                               reverse=False, acc=acc, lane_offset=lane_offset,
+                               seam_period=seam_period)
     if do_reverse:
         out = _aggregate_direction(vol, p2r, P1, mask_mode, scan_is_x, width,
                                    reverse=True, acc=out,
-                                   lane_offset=lane_offset)
+                                   lane_offset=lane_offset,
+                                   seam_period=seam_period)
     return out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("P1", "P2", "do_horiz", "do_vert", "do_reverse",
-                     "do_diagonal", "sd"),
+                     "do_diagonal", "sd", "seam_period"),
 )
 def semi_global_matching(vol, img, P1=0.01, P2=0.02, do_horiz: bool = True,
                          do_vert: bool = True, do_reverse: bool = True,
-                         do_diagonal: bool = False, sd: int = -1):
+                         do_diagonal: bool = False, sd: int = -1,
+                         seam_period: int | None = None):
     """Drop-in Pallas replacement for sgm.semi_global_matching: vol (D, H, W),
     img (H, W) -> aggregated (D, H, W); a bfloat16 vol streams at half the
     bandwidth (aggregation is f32 regardless).
@@ -234,10 +260,15 @@ def semi_global_matching(vol, img, P1=0.01, P2=0.02, do_horiz: bool = True,
     D, H, W = vol.shape
     v = vol if vol.dtype == jnp.bfloat16 else vol.astype(jnp.float32)
     mask_mode = "left" if sd < 0 else "right"
+    if seam_period is not None:
+        # frames stacked along rows: vertical paths re-seed at seams; the
+        # horizontal scan is row-independent so seams need nothing there
+        assert not do_diagonal, "stacked batches support 4-path aggregation"
     acc = None
     if do_vert:
         acc = sgm_aggregate_scan(v, img, P1, P2, do_reverse,
-                                 mask_mode, scan_is_x=False)
+                                 mask_mode, scan_is_x=False,
+                                 seam_period=seam_period)
     if do_diagonal:
         acc = sgm_aggregate_diag(v, img, P1, P2, mask_mode, dx=1, acc=acc)
         acc = sgm_aggregate_diag(v, img, P1, P2, mask_mode, dx=-1, acc=acc)

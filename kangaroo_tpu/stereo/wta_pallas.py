@@ -23,7 +23,9 @@ ROWS = 8
 
 
 def _wta_kernel(vol_ref, out_ref, *, sd, D, W, subpix):
-    blk = vol_ref[:]  # (D, R, W)
+    # a bfloat16 volume streams at half the HBM bytes; arithmetic is f32
+    # (census costs k/256 are bf16-exact, so results are bit-identical)
+    blk = vol_ref[:].astype(jnp.float32)  # (D, R, W)
     R = blk.shape[1]
     d3 = jax.lax.broadcasted_iota(jnp.int32, (D, R, W), 0)
     x3 = jax.lax.broadcasted_iota(jnp.int32, (D, R, W), 2)
@@ -53,12 +55,20 @@ def _wta_kernel(vol_ref, out_ref, *, sd, D, W, subpix):
     out_ref[:] = out
 
 
+def _rows_for(vol):
+    """Rows per block: bf16 arrays tile (16, 128) on TPU, so bf16 blocks
+    take 16 rows (8-row blocks would read every 16-row tile twice)."""
+    H = vol.shape[1]
+    R = 2 * ROWS if vol.dtype == jnp.bfloat16 and H % (2 * ROWS) == 0 else ROWS
+    assert H % R == 0
+    return R
+
+
 @functools.partial(jax.jit, static_argnames=("sd", "subpix"))
 def cost_vol_minimum_subpix(vol, sd: int = -1, subpix: bool = True):
     """Drop-in Pallas replacement for costvolume.cost_vol_minimum_subpix."""
     D, H, W = vol.shape
-    R = ROWS
-    assert H % R == 0
+    R = _rows_for(vol)
     return pl.pallas_call(
         functools.partial(_wta_kernel, sd=sd, D=D, W=W, subpix=subpix),
         grid=(H // R,),
@@ -66,11 +76,14 @@ def cost_vol_minimum_subpix(vol, sd: int = -1, subpix: bool = True):
         out_specs=pl.BlockSpec((R, W), lambda g: (g, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(vol.astype(jnp.float32))
+    )(vol if vol.dtype == jnp.bfloat16 else vol.astype(jnp.float32))
 
 
 def _wta_sq_kernel(vol_ref, last_ref, scal_ref, out_ref, *, sd, D, W):
-    blk = vol_ref[:]  # (D, R, W)
+    # bf16 volumes upcast per block (see _wta_kernel) — the DTAM loop calls
+    # this once per iteration, so halving the streamed bytes halves the
+    # dominant HBM cost of the whole alternation
+    blk = vol_ref[:].astype(jnp.float32)  # (D, R, W)
     R = blk.shape[1]
     lastd = last_ref[:]  # (R, W)
     lam = scal_ref[0]
@@ -107,8 +120,7 @@ def cost_vol_minimum_square_penalty_subpix(vol, last_disp, lam, theta, sd: int =
     """Pallas version of the DTAM auxiliary exhaustive search
     (costvolume.cost_vol_minimum_square_penalty_subpix)."""
     D, H, W = vol.shape
-    R = ROWS
-    assert H % R == 0
+    R = _rows_for(vol)
     scal = jnp.stack(
         [jnp.asarray(lam, jnp.float32), 1.0 / (2.0 * jnp.asarray(theta, jnp.float32))]
     )
@@ -124,4 +136,5 @@ def cost_vol_minimum_square_penalty_subpix(vol, last_disp, lam, theta, sd: int =
         out_specs=pl.BlockSpec((R, W), lambda g: (g, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((H, W), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(vol.astype(jnp.float32), last_disp.astype(jnp.float32), scal)
+    )(vol if vol.dtype == jnp.bfloat16 else vol.astype(jnp.float32),
+      last_disp.astype(jnp.float32), scal)

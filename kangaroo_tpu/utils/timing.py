@@ -21,14 +21,31 @@ def _sync(x):
     _ = float(jnp.asarray(leaves[0]).ravel().astype(jnp.float32)[0])
 
 
-def _repeat_jit(fn, n: int):
-    """Jitted: run fn n times with a data dependency chaining iterations."""
+def _repeat_jit(fn, n: int, reduce_outputs: bool = False):
+    """Jitted: run fn n times with a data dependency chaining iterations.
+
+    The default chain reads ONE scalar per output leaf — free, but it only
+    keeps ops alive that feed that scalar. An output stacked from
+    INDEPENDENT subgraphs (e.g. ``jnp.stack([pipeline(x[k]) for k in ...])``)
+    gets all but one subgraph dead-code-eliminated INSIDE the repeat loop,
+    silently reporting ~1/B of the real cost (found by xplane-tracing the
+    while body: 4 aggregate kernels per iteration instead of 16).
+    ``reduce_outputs=True`` sums every output element instead — a full
+    read of each output per iteration (~0.1 ms per 64 MB at HBM speed),
+    which keeps every subgraph live; use it when timing batched or
+    multi-branch programs."""
 
     def mix(carry_args, out):
         leaves = jax.tree_util.tree_leaves(out)
         s = jnp.float32(0)
         for leaf in leaves:
-            s = s + jnp.asarray(leaf).ravel()[0].astype(jnp.float32)
+            leaf = jnp.asarray(leaf)
+            if reduce_outputs:
+                v = jnp.sum(leaf.astype(jnp.float32))
+                # NaN-proof: invalid pixels are NaN by convention
+                s = s + jnp.where(jnp.isfinite(v), v, jnp.float32(0))
+            else:
+                s = s + leaf.ravel()[0].astype(jnp.float32)
         a0 = carry_args[0]
         eps = (s * 1e-30).astype(a0.dtype) if jnp.issubdtype(a0.dtype, jnp.floating) else (
             (s * 1e-30).astype(jnp.float32).astype(a0.dtype)
@@ -49,12 +66,16 @@ def _repeat_jit(fn, n: int):
 
 
 def time_fn(fn, *args, iters: int = 16, warmup: int = 1, chain_arg=None,
-            samples: int = 3):
+            samples: int = 3, reduce_outputs: bool = False):
     """Seconds per call of ``fn(*args)``, measured device-side via the slope
-    between (iters+1)-repetition and 1-repetition jitted runs."""
+    between (iters+1)-repetition and 1-repetition jitted runs.
+
+    Pass ``reduce_outputs=True`` when fn's output stacks INDEPENDENT
+    subgraphs (see _repeat_jit: the default one-scalar chain lets XLA
+    dead-code-eliminate the other branches inside the repeat loop)."""
     del chain_arg, warmup  # legacy signature
-    g1 = _repeat_jit(fn, 0)
-    gn = _repeat_jit(fn, iters)
+    g1 = _repeat_jit(fn, 0, reduce_outputs)
+    gn = _repeat_jit(fn, iters, reduce_outputs)
     out = g1(*args)
     _sync(out)
     out = gn(*args)

@@ -115,12 +115,15 @@ class TestMedianPallas:
 
 
 class TestLrPallas:
+    # H=16: one whole block; H=256: multi-block row grid (R=128); H=20: no
+    # multiple-of-8 divisor -> whole-image fallback block
     @pytest.mark.parametrize("sd", [-1, 1])
-    def test_matches(self, interpret, rng, sd):
+    @pytest.mark.parametrize("H", [16, 256, 20])
+    def test_matches(self, interpret, rng, sd, H):
         from kangaroo_tpu.stereo import costvolume as cv
         from kangaroo_tpu.stereo import lr_pallas as lp
 
-        H, W = 16, 128
+        W = 128
         dl = rng.random((H, W)).astype(np.float32) * 15
         dl[rng.random((H, W)) < 0.1] = np.nan
         dr = dl + rng.normal(0, 0.6, (H, W)).astype(np.float32)
@@ -160,3 +163,70 @@ class TestSgmLaneOffset:
         got = np.concatenate(halves, axis=2)
         m = np.broadcast_to(d <= x, (D, H, W))
         np.testing.assert_allclose(got[m], ref[m], atol=1e-5)
+
+
+class TestDtamPallas:
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_whole_solve_matches_xla_loop(self, interpret, rng, dtype):
+        """The VMEM-resident DTAM kernel matches the XLA fori_loop twin
+        (apps.stereo.dtam_solve) op for op."""
+        from kangaroo_tpu.apps import stereo as stereo_app
+        from kangaroo_tpu.stereo import costvolume as cv
+        from kangaroo_tpu.stereo import dispatch as fast
+        from kangaroo_tpu.stereo import dtam_pallas
+
+        D, H, W = 8, 16, 128
+        vol = jnp.asarray(
+            (rng.integers(0, 257, (D, H, W)) / 256.0).astype(np.float32))
+        vol = vol.astype(dtype)
+        img = jnp.asarray((rng.random((H, W)) * 255).astype(np.float32))
+        lam, th0, sq, sdt, al, be = 20.0, 100.0, 0.7, 0.7, 0.002, 1e-5
+        want = np.asarray(stereo_app.dtam_solve(
+            vol, img, lam, th0, sq, sdt, al, be, 1.0, 2.5, iterations=6))
+        g = cv.exponential_edge_weight(img / 255.0, 1.0, 2.5)
+        d0 = fast.cost_vol_minimum_subpix(vol, -1)
+        got = np.asarray(dtam_pallas.dtam_solve(
+            vol, g, d0, lam, th0, sq, sdt, al, be, iterations=6))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestSgmStackedSeams:
+    def test_stacked_frames_equal_per_frame(self, interpret, rng):
+        """seam_period re-seeds paths at frame boundaries: a stacked batch
+        aggregates bit-identically to per-frame runs."""
+        from kangaroo_tpu.stereo import sgm_pallas as sp
+
+        D, H, W, B = 8, 16, 128, 2
+        vols = jnp.asarray(rng.random((B, D, H, W)).astype(np.float32))
+        imgs = jnp.asarray(rng.random((B, H, W)).astype(np.float32))
+        per = [np.asarray(sp.semi_global_matching(vols[k], imgs[k], 0.01, 0.02))
+               for k in range(B)]
+        stacked = np.asarray(sp.semi_global_matching(
+            jnp.concatenate(list(vols), axis=1),
+            jnp.concatenate(list(imgs), axis=0),
+            0.01, 0.02, seam_period=H))
+        for k in range(B):
+            np.testing.assert_array_equal(stacked[:, k * H:(k + 1) * H], per[k])
+
+    def test_batched_pipeline_matches_per_frame(self, interpret, rng,
+                                                monkeypatch):
+        from kangaroo_tpu import backend
+        from kangaroo_tpu.apps import stereo_sgm, synthetic
+
+        monkeypatch.setattr(backend, "on_tpu", lambda: True)
+        jax.clear_caches()
+        B, W, H, D = 2, 96, 64, 16
+        ls, rs = [], []
+        for k in range(B):
+            l, r, _ = synthetic.stereo_pair(W, H, D, seed=k)
+            ls.append(l)
+            rs.append(r)
+        lefts = jnp.stack(ls)
+        rights = jnp.stack(rs)
+        cfg = stereo_sgm.SgmConfig(max_disp=D, census_window="9x7")
+        got = np.asarray(stereo_sgm.sgm_pipeline_batched(lefts, rights, cfg))
+        for k in range(B):
+            want = np.asarray(stereo_sgm.sgm_pipeline(ls[k], rs[k], cfg))
+            a, b = got[k], want
+            nan = np.isnan(a) & np.isnan(b)
+            assert (nan | (np.abs(a - b) < 1e-4)).all()
