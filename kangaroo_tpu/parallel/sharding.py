@@ -507,6 +507,13 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
         from .. import backend
         from ..stereo import sgm_pallas as sp
 
+        # the vertical wavefront's per-block segments also run the Pallas
+        # kernel on TPU (sgm_pallas.sgm_aggregate_block: the cross-shard
+        # carry enters/leaves the kernel as (prev, best) operands), in the
+        # volume's native (D, Hs, W) layout
+        use_kv = backend.use_pallas(Hs % sp.ROWS_PER_STEP == 0)
+        out_dhw = None
+
         if backend.use_pallas(W % sp.ROWS_PER_STEP == 0):
             vt3 = jnp.transpose(v, (2, 1, 0))  # (D, W, Hs): scan along x
             it = jnp.swapaxes(img_blk, 0, 1)
@@ -514,7 +521,10 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
                 vt3, it, P1, P2, True,
                 "left" if mask_mode_left else "right",
                 scan_is_x=True, width=W)
-            out = out + jnp.transpose(agg3, (2, 1, 0))
+            if use_kv:
+                out_dhw = jnp.transpose(agg3, (0, 2, 1))  # (D, Hs, W)
+            else:
+                out = out + jnp.transpose(agg3, (2, 1, 0))
         else:
             vt = jnp.swapaxes(v, 0, 1)  # (W, Hs, D)
             it = jnp.swapaxes(img_blk, 0, 1)
@@ -584,6 +594,60 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
                 res, jnp.where(active, lr, old_blk), (0, col0, 0))
             return res, new_c
 
+        # ---- TPU variant of the block step: the same pipeline, but each
+        # block segment is the streaming Pallas kernel with the carry as
+        # (prev, best) operands and the upstream last-intensity row folded
+        # into p2's first row (interpret-mode equality:
+        # tests/test_pallas_kernels.py TestSgmCarrySegments).
+        if use_kv:
+            vk = v_blk.astype(jnp.float32)
+            if pad:
+                vk = jnp.pad(vk, ((0, 0), (0, 0), (0, pad)))
+            ik = ip
+            vkr, ikr = vk[:, ::-1], ik[::-1]
+            kmode = "left" if mask_mode_left else "right"
+
+            def init_carry_k():
+                return (
+                    jnp.full((D, Wc), 1e30, jnp.float32),
+                    jnp.zeros((Wc,), jnp.float32),
+                    jnp.zeros((Wc,), jnp.float32),
+                )
+
+            def pipe_step_k(res, carry, vv, ii, b, seed_shard):
+                active = (b >= 0) & (b < nb)
+                col0 = jnp.clip(b, 0, nb - 1) * Wc
+                blk_v = jax.lax.dynamic_slice(vv, (0, 0, col0), (D, Hs_, Wc))
+                blk_i = jax.lax.dynamic_slice(ii, (0, col0), (Hs_, Wc))
+
+                def seed(c):
+                    lr, cp, cb, li = sp.sgm_aggregate_block(
+                        blk_v, blk_i, P1, P2, kmode, width=W,
+                        lane_offset=col0)
+                    return lr, (cp, cb, li)
+
+                def cont(c):
+                    lr, cp, cb, li = sp.sgm_aggregate_block(
+                        blk_v, blk_i, P1, P2, kmode, width=W, seed=False,
+                        carry_prev=c[0], carry_best=c[1], last_img=c[2],
+                        lane_offset=col0)
+                    return lr, (cp, cb, li)
+
+                def skip(c):
+                    return jnp.zeros((D, Hs_, Wc), jnp.float32), c
+
+                lr, new_c = jax.lax.cond(
+                    active,
+                    lambda c: jax.lax.cond(seed_shard, seed, cont, c),
+                    skip,
+                    carry,
+                )
+                old_blk = jax.lax.dynamic_slice(res, (0, 0, col0),
+                                                (D, Hs_, Wc))
+                res = jax.lax.dynamic_update_slice(
+                    res, jnp.where(active, lr, old_blk), (0, 0, col0))
+                return res, new_c
+
         vvr, iir, mmr = vp[::-1], ip[::-1], mp[::-1]
         permf = [(i, (i + 1) % nsh) for i in range(nsh)]
         permr = [(i, (i - 1) % nsh) for i in range(nsh)]
@@ -630,10 +694,15 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
 
         def loop_body(t, state):
             res_f, res_r, cf, cr, dres, dcar = state
-            res_f, cf = pipe_step(res_f, cf, vp, ip, mp,
-                                  t - idx, idx == 0)
-            res_r, cr = pipe_step(res_r, cr, vvr, iir, mmr,
-                                  t - (nsh - 1 - idx), idx == nsh - 1)
+            if use_kv:
+                res_f, cf = pipe_step_k(res_f, cf, vk, ik, t - idx, idx == 0)
+                res_r, cr = pipe_step_k(res_r, cr, vkr, ikr,
+                                        t - (nsh - 1 - idx), idx == nsh - 1)
+            else:
+                res_f, cf = pipe_step(res_f, cf, vp, ip, mp,
+                                      t - idx, idx == 0)
+                res_r, cr = pipe_step(res_r, cr, vvr, iir, mmr,
+                                      t - (nsh - 1 - idx), idx == nsh - 1)
             # the post-final-step permute is dead data, but keeps the loop
             # body uniform so it traces/compiles once
             cf = tuple(jax.lax.ppermute(x, AXIS, permf) for x in cf)
@@ -648,21 +717,34 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
                 dcar2.append(c1)
             return res_f, res_r, cf, cr, tuple(dres2), tuple(dcar2)
 
+        if use_kv:
+            z0 = jnp.zeros((D, Hs_, Wp), jnp.float32)
+            c0f, c0r = init_carry_k(), init_carry_k()
+        else:
+            z0 = jnp.zeros((Hs_, Wp, D), v.dtype)
+            c0f, c0r = init_carry(), init_carry()
         res_f, res_r, _, _, dres, _ = jax.lax.fori_loop(
             0, steps, loop_body,
-            (jnp.zeros((Hs_, Wp, D), v.dtype), jnp.zeros((Hs_, Wp, D), v.dtype),
-             init_carry(), init_carry(),
+            (z0, jnp.zeros_like(z0), c0f, c0r,
              tuple(jnp.zeros_like(v) for _ in diag_arrays),
              tuple(diag_init() for _ in diag_arrays)),
         )
-        out = out + res_f[:, :W] + res_r[::-1][:, :W]
+        if not use_kv:
+            out = out + res_f[:, :W] + res_r[::-1][:, :W]
         for (_, _, _, flip_y, flip_x), r in zip(diag_arrays, dres):
             if flip_x:
                 r = r[:, ::-1]
             if flip_y:
                 r = r[::-1]
             out = out + r
-        return jnp.moveaxis(out, -1, 0)
+        ret = jnp.moveaxis(out, -1, 0)
+        if use_kv:
+            # Pallas results are already (D, Hs, W); the up direction ran on
+            # row-reversed inputs so its rows reverse back
+            ret = ret + res_f[:, :, :W] + res_r[:, ::-1, :W]
+            if out_dhw is not None:
+                ret = ret + out_dhw
+        return ret
 
     f = shard_map(
         local, mesh=mesh,

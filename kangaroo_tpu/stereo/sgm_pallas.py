@@ -35,7 +35,8 @@ ROWS_PER_STEP = 8
 
 def _make_kernel(P1, R, total, width, mask_mode, scan_is_x, reverse: bool,
                  accumulate: bool, with_offset: bool = False,
-                 seam_blocks: int | None = None):
+                 seam_blocks: int | None = None, carry_in: bool = False,
+                 carry_out: bool = False):
     """Kernel factory. Blocks are (D, R, N): disparity x rows x line-axis.
     ``scan_is_x``: the scan axis is the image x axis (volume pre-transposed
     to (D, W, H)), so the valid-disparity set moves with the scan position
@@ -53,13 +54,26 @@ def _make_kernel(P1, R, total, width, mask_mode, scan_is_x, reverse: bool,
     scan re-SEED every that-many grid blocks: a batch of frames stacked
     along the scan axis aggregates in ONE streaming pass with paths
     restarting at every frame seam (the offline-throughput mode — vmapping
-    the kernel instead serialises it)."""
+    the kernel instead serialises it).
+
+    ``carry_in`` CONTINUES a scan from an upstream segment: two extra
+    inputs hold the upstream (prev Lr (D, N), lastBest (1, N)) and the
+    first row STEPS from them instead of seeding — the multi-chip
+    wavefront's cross-shard carry (sgm._scan_direction ``carry_in``; the
+    upstream prev already carries _BIG at masked entries, and the caller
+    folds the upstream last-intensity row into p2's first row).
+    ``carry_out`` adds two outputs receiving the final (prev, best) so a
+    downstream segment can continue."""
 
     def kernel(vol_ref, p2_ref, *refs):
         if with_offset:
             off_ref, refs = refs[0], refs[1:]
+        if carry_in:
+            cinp_ref, cinb_ref, refs = refs[0], refs[1], refs[2:]
         if accumulate:
-            acc_ref, out_ref, prev, best = refs
+            acc_ref, refs = refs[0], refs[1:]
+        if carry_out:
+            out_ref, coutp_ref, coutb_ref, prev, best = refs
         else:
             out_ref, prev, best = refs
         g = pl.program_id(0)
@@ -129,13 +143,24 @@ def _make_kernel(P1, R, total, width, mask_mode, scan_is_x, reverse: bool,
             if ii == 0:
                 @pl.when(at_seam)
                 def _(c=c, i=i, m=m):
-                    seed(c, i, m)
+                    if carry_in:
+                        # continue the upstream segment's recurrence
+                        prev[:] = cinp_ref[:]
+                        best[:] = jnp.broadcast_to(cinb_ref[:], best.shape)
+                        step(c, i, m)
+                    else:
+                        seed(c, i, m)
 
                 @pl.when(not_seam)
                 def _(c=c, i=i, m=m):
                     step(c, i, m)
             else:
                 step(c, i, m)
+
+        if carry_out:
+            # constant-index output blocks: the last grid step's state wins
+            coutp_ref[:] = prev[:]
+            coutb_ref[:] = best[0:1, :]
 
     return kernel
 
@@ -153,12 +178,16 @@ def _p2_rows(img, P2, reverse: bool):
 
 def _aggregate_direction(vol, p2, P1, mask_mode, scan_is_x, width,
                          reverse: bool, acc=None, lane_offset=None,
-                         seam_period: int | None = None):
+                         seam_period: int | None = None, carry=None,
+                         want_carry: bool = False):
     """One path direction along axis 1 of vol (D, S, N). With ``acc`` the
     direction is added onto it via an aliased accumulator (no XLA add);
     ``lane_offset`` (traced scalar) is the global x of lane 0 for
     column-sharded callers; ``seam_period`` (static rows) re-seeds the
-    paths every that-many rows (stacked frame batches)."""
+    paths every that-many rows (stacked frame batches). ``carry``
+    ((D, N) prev Lr, (1, N) lastBest) continues an upstream segment and
+    ``want_carry`` returns the final (prev, best) alongside the volume
+    (the wavefront's cross-shard interface)."""
     D, S, N = vol.shape
     R = ROWS_PER_STEP
     n_blocks = S // R
@@ -172,9 +201,13 @@ def _aggregate_direction(vol, p2, P1, mask_mode, scan_is_x, width,
         assert seam_period % R == 0 and S % seam_period == 0
         assert not scan_is_x, "stacking is along the row scan axis"
         seam_blocks = seam_period // R
+    if carry is not None or want_carry:
+        assert not reverse, "carry segments scan forward over pre-reversed data"
     kernel = _make_kernel(P1, R, S, width, mask_mode, scan_is_x, reverse,
                           acc is not None, with_offset=lane_offset is not None,
-                          seam_blocks=seam_blocks)
+                          seam_blocks=seam_blocks, carry_in=carry is not None,
+                          carry_out=want_carry)
+    const2 = lambda g: (0, 0)
     in_specs = [
         pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, R, N), blk, memory_space=pltpu.VMEM),
@@ -184,16 +217,35 @@ def _aggregate_direction(vol, p2, P1, mask_mode, scan_is_x, width,
     if lane_offset is not None:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         operands.append(jnp.asarray(lane_offset, jnp.int32).reshape(1))
+    if carry is not None:
+        cp, cb = carry
+        in_specs.append(pl.BlockSpec((D, N), const2, memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, N), const2, memory_space=pltpu.VMEM))
+        operands.append(cp.astype(jnp.float32))
+        operands.append(cb.astype(jnp.float32).reshape(1, N))
     if acc is not None:
         in_specs.append(pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM))
         operands.append(acc)
         kwargs["input_output_aliases"] = {len(operands) - 1: 0}
+    out_specs = pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((D, S, N), jnp.float32)
+    if want_carry:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((D, N), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), const2, memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((D, N), jnp.float32),
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, S, N), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((D, N), jnp.float32),
             pltpu.VMEM((8, N), jnp.float32),
@@ -201,6 +253,7 @@ def _aggregate_direction(vol, p2, P1, mask_mode, scan_is_x, width,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        **kwargs,
     )(*operands)
 
 
@@ -237,6 +290,47 @@ def sgm_aggregate_scan(vol, img, P1=0.01, P2=0.02, do_reverse: bool = True,
                                    lane_offset=lane_offset,
                                    seam_period=seam_period)
     return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("P1", "P2", "mask_mode", "width", "seed"),
+)
+def sgm_aggregate_block(vol, img, P1=0.01, P2=0.02, mask_mode: str = "left",
+                        width: int | None = None, seed: bool = True,
+                        carry_prev=None, carry_best=None, last_img=None,
+                        lane_offset=None, acc=None):
+    """ONE forward path direction over a row segment with cross-segment
+    carry — the per-step kernel of the sharded wavefront
+    (parallel/sharding.py sharded_semi_global_matching; semantics of
+    sgm._scan_direction with ``carry_in``/``return_carry``).
+
+    vol (D, S, N) is a column block of S rows; ``lane_offset`` is the
+    global x of lane 0 and ``width`` the full image width (the disparity
+    mask uses absolute x). With ``seed`` the paths start here; otherwise
+    ``carry_prev`` (D, N), ``carry_best`` (N,) and ``last_img`` (N,) (the
+    upstream segment's final state) continue the recurrence — the
+    upstream last intensity only enters through p2's first row. The up
+    direction feeds row-reversed inputs (scans are always forward).
+    Returns (Lr volume added onto ``acc`` when given, final prev,
+    final best, this segment's last intensity row).
+    """
+    D, S, N = vol.shape
+    assert S % ROWS_PER_STEP == 0
+    if width is None:
+        width = N
+    v = vol if vol.dtype == jnp.bfloat16 else vol.astype(jnp.float32)
+    f = img.astype(jnp.float32)
+    p2 = _p2_rows(img, P2, reverse=False)
+    carry = None
+    if not seed:
+        # adaptive P2 of the first row pairs it with the UPSTREAM last row
+        p2 = p2.at[0, 0, :].set(P2 / (1.0 + jnp.abs(last_img - f[0])))
+        carry = (carry_prev, carry_best)
+    out, cp, cb = _aggregate_direction(
+        v, p2, P1, mask_mode, False, width, reverse=False, acc=acc,
+        lane_offset=lane_offset, carry=carry, want_carry=True)
+    return out, cp, cb[0], f[-1]
 
 
 @functools.partial(

@@ -43,8 +43,9 @@ ms = 1e3 * time_fn(
     lambda v, i: sharding.sharded_semi_global_matching(v, i, 0.01, 0.02, mesh),
     vol, img, iters=20)
 print(f"sharded SGM (1 shard, VGA/64) on TPU: {ms:.2f} ms "
-      "(vertical wavefront is the XLA scan — it shrinks ~nsh-fold with "
-      "real shard counts; horizontal paths run the Pallas kernel)")
+      "(horizontal AND vertical recurrences run the Pallas kernel; the "
+      "vertical wavefront's block segments chain the cross-shard carry "
+      "through sgm_aggregate_block)")
 
 got_r = np.asarray(
     sharding.sharded_semi_global_matching_reshard(vol, img, 0.01, 0.02, mesh))

@@ -165,6 +165,60 @@ class TestSgmLaneOffset:
         np.testing.assert_allclose(got[m], ref[m], atol=1e-5)
 
 
+class TestSgmCarrySegments:
+    @pytest.mark.parametrize("mask_mode", ["left", "right"])
+    def test_chained_segments_equal_single(self, interpret, rng, mask_mode):
+        """Two carry-chained row segments aggregate bit-identically to one
+        full-height pass (the sharded wavefront's cross-shard contract)."""
+        from kangaroo_tpu.stereo import sgm_pallas as sp
+
+        D, H, W = 8, 32, 128
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        whole, _, _, _ = sp.sgm_aggregate_block(vol, img, 0.01, 0.02,
+                                                mask_mode, width=W)
+        top, cp, cb, li = sp.sgm_aggregate_block(vol[:, :16], img[:16],
+                                                 0.01, 0.02, mask_mode,
+                                                 width=W)
+        bot, _, _, _ = sp.sgm_aggregate_block(vol[:, 16:], img[16:],
+                                              0.01, 0.02, mask_mode,
+                                              width=W, seed=False,
+                                              carry_prev=cp, carry_best=cb,
+                                              last_img=li)
+        got = np.concatenate([np.asarray(top), np.asarray(bot)], axis=1)
+        np.testing.assert_array_equal(got, np.asarray(whole))
+
+    def test_block_matches_xla_scan_carry(self, interpret, rng):
+        """The Pallas segment kernel matches sgm._scan_direction's
+        carry_in/return_carry path (the XLA wavefront twin)."""
+        from kangaroo_tpu.stereo import sgm as sgm_mod
+        from kangaroo_tpu.stereo import sgm_pallas as sp
+
+        D, H, W = 8, 16, 128
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        d = jnp.arange(D)[None, None, :]
+        x = jnp.arange(W)[None, :, None]
+        dmask = jnp.broadcast_to(d <= x, (H, W, D))
+        v_lnd = jnp.moveaxis(vol, 0, -1)  # (H, W, D)
+        lr1, fin = sgm_mod._scan_direction(v_lnd[:8], img[:8], dmask[:8],
+                                           0.01, 0.02, reverse=False,
+                                           return_carry=True)
+        lr2 = sgm_mod._scan_direction(v_lnd[8:], img[8:], dmask[8:],
+                                      0.01, 0.02, reverse=False,
+                                      carry_in=fin)
+        want = np.moveaxis(np.concatenate([np.asarray(lr1), np.asarray(lr2)],
+                                          axis=0), -1, 0)
+        top, cp, cb, li = sp.sgm_aggregate_block(vol[:, :8], img[:8],
+                                                 0.01, 0.02, "left", width=W)
+        bot, _, _, _ = sp.sgm_aggregate_block(vol[:, 8:], img[8:], 0.01, 0.02,
+                                              "left", width=W, seed=False,
+                                              carry_prev=cp, carry_best=cb,
+                                              last_img=li)
+        got = np.concatenate([np.asarray(top), np.asarray(bot)], axis=1)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 class TestDtamPallas:
     @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
     def test_whole_solve_matches_xla_loop(self, interpret, rng, dtype):
