@@ -66,6 +66,27 @@ def bench_sgm_batched(iters=6, batch=4):
     return batch / time_fn(f, left, right, iters=iters, reduce_outputs=True)
 
 
+def bench_sgm_sharded(iters=20):
+    """Both multi-chip SGM strategies on a 1-device mesh (the real-TPU
+    half of the sharded equality suite, scripts/check_sharded_tpu.py):
+    aggregation only, VGA/64, every recurrence the Pallas kernel."""
+    import jax.numpy as jnp
+
+    from kangaroo_tpu.parallel import mesh as mesh_mod
+    from kangaroo_tpu.parallel import sharding
+
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.random((64, 480, 640)).astype(np.float32))
+    img = jnp.asarray(rng.random((480, 640)).astype(np.float32))
+    mesh = mesh_mod.make_mesh(1)
+    wf = lambda v, i: sharding.sharded_semi_global_matching(
+        v, i, 0.01, 0.02, mesh)
+    rs = lambda v, i: sharding.sharded_semi_global_matching_reshard(
+        v, i, 0.01, 0.02, mesh)
+    return (1e3 * _timeit(wf, vol, img, iters=iters),
+            1e3 * _timeit(rs, vol, img, iters=iters))
+
+
 def bench_census_wta(iters=200):
     # the pipeline is ~0.1 ms after the lane-roll rewrite; the slope
     # method needs many repetitions at that scale or it reports noise
@@ -96,10 +117,11 @@ def bench_filters(iters=40):
     img = jnp.asarray(rng.random((480, 640)).astype(np.float32))
     g = lambda x: blur.gaussian_blur(x, 2.0, rad=10)
     b = lambda x: bilateral.bilateral(x, 2.0, 0.1, 5)
-    # the blur is ~30 us: the slope method needs hundreds of repetitions
-    # at that scale or it reports 0.0 (VERDICT r2 weak #4)
+    # the blur is ~30 us and the bilateral ~0.2 ms: the slope method needs
+    # hundreds of repetitions at that scale or it reports 0.0
+    # (VERDICT r2 weak #4)
     g_ms = 1e3 * _timeit(g, img, iters=max(iters, 400))
-    return g_ms, 1e3 * _timeit(b, img, iters=iters)
+    return g_ms, 1e3 * _timeit(b, img, iters=max(iters, 200))
 
 
 def bench_dtam(iters=10):
@@ -361,6 +383,13 @@ def main():
         configs["sgm_stereo_batch4_fps"] = round(bench_sgm_batched(), 2)
         # 8-path aggregation (4 diagonals beyond the reference's 4 paths)
         configs["sgm_stereo_8path_fps"] = round(bench_sgm(do_diagonal=True), 2)
+        # the multi-chip SGM strategies on a 1-device mesh: the exact
+        # shard_map + Pallas composition a real pod runs (per-chip work
+        # divides by the shard count; the wavefront permutes only small
+        # carries, the reshard strategy two volume all_to_alls)
+        wf_ms, rs_ms = bench_sgm_sharded()
+        configs["sgm_sharded_wavefront_1shard_ms"] = round(wf_ms, 2)
+        configs["sgm_sharded_reshard_1shard_ms"] = round(rs_ms, 2)
         update_perf_headline(fps, configs)
     if args.all:
         for k, v in configs.items():

@@ -475,6 +475,16 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
     — cost is one extra sequential wavefront overlapped with the pipelined
     vertical one.
 
+    On TPU every segment runs the streaming Pallas kernel with the
+    cross-shard carry as kernel operands (sgm_pallas.sgm_aggregate_block /
+    sgm_aggregate_diag_block), and directions sharing a row orientation
+    chain through one aliased accumulator (forward: horizontal seed +
+    down-vertical + down-diagonals; reversed: the up directions) — one
+    XLA-side volume add total. Shard heights that are not multiples of 8
+    still run in-kernel as whole-segment blocks up to 128 rows (VGA over
+    8 shards). The virtual CPU test mesh exercises the XLA twins of the
+    same wavefront.
+
     vol is (D, H, W) with H sharded; returns the aggregated (D, H, W)
     volume (H sharded).
     """
@@ -510,11 +520,16 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
         # the vertical wavefront's per-block segments also run the Pallas
         # kernel on TPU (sgm_pallas.sgm_aggregate_block: the cross-shard
         # carry enters/leaves the kernel as (prev, best) operands), in the
-        # volume's native (D, Hs, W) layout
-        use_kv = backend.use_pallas(Hs % sp.ROWS_PER_STEP == 0)
+        # volume's native (D, Hs, W) layout. Non-multiple-of-8 shard
+        # heights up to 128 rows (VGA over 8 shards: Hs = 60) run as one
+        # whole-segment block — no silent XLA fallback at production shard
+        # counts.
+        use_kv = backend.use_pallas(
+            Hs % sp.ROWS_PER_STEP == 0 or Hs <= 128)
         out_dhw = None
+        hz_xla = False
 
-        if backend.use_pallas(W % sp.ROWS_PER_STEP == 0):
+        if backend.use_pallas(W % sp.ROWS_PER_STEP == 0 or W <= 128):
             vt3 = jnp.transpose(v, (2, 1, 0))  # (D, W, Hs): scan along x
             it = jnp.swapaxes(img_blk, 0, 1)
             agg3 = sp.sgm_aggregate_scan(
@@ -532,6 +547,7 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
             agg = sgm_mod._scan_direction(vt, it, mt, P1, P2, reverse=False)
             agg = agg + sgm_mod._scan_direction(vt, it, mt, P1, P2, reverse=True)
             out = out + jnp.swapaxes(agg, 0, 1)
+            hz_xla = True
 
         # ---- vertical wavefronts: column-block pipelined, both directions
         # overlapped. The vertical recurrence is sequential over ROWS, but
@@ -598,11 +614,13 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
         # block segment is the streaming Pallas kernel with the carry as
         # (prev, best) operands and the upstream last-intensity row folded
         # into p2's first row (interpret-mode equality:
-        # tests/test_pallas_kernels.py TestSgmCarrySegments).
+        # tests/test_pallas_kernels.py TestSgmCarrySegments). Each segment
+        # ADDS onto the chain's accumulator block in-kernel (the aliased
+        # acc operand), so directions sharing an orientation share ONE
+        # result buffer and the post-loop XLA adds disappear.
         if use_kv:
-            vk = v_blk.astype(jnp.float32)
-            if pad:
-                vk = jnp.pad(vk, ((0, 0), (0, 0), (0, pad)))
+            vk0 = v_blk.astype(jnp.float32)
+            vk = jnp.pad(vk0, ((0, 0), (0, 0), (0, pad))) if pad else vk0
             ik = ip
             vkr, ikr = vk[:, ::-1], ik[::-1]
             kmode = "left" if mask_mode_left else "right"
@@ -614,27 +632,39 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
                     jnp.zeros((Wc,), jnp.float32),
                 )
 
-            def pipe_step_k(res, carry, vv, ii, b, seed_shard):
+            def pipe_step_k(res, carry, vv, ii, b, seed_shard, with_acc):
+                """``with_acc`` only when other directions share this
+                chain's buffer (a horizontal seed or the diagonals): a
+                purely-vertical chain writes each block exactly once, so
+                reading the (still zero) accumulator would be pure HBM
+                waste."""
                 active = (b >= 0) & (b < nb)
                 col0 = jnp.clip(b, 0, nb - 1) * Wc
                 blk_v = jax.lax.dynamic_slice(vv, (0, 0, col0), (D, Hs_, Wc))
                 blk_i = jax.lax.dynamic_slice(ii, (0, col0), (Hs_, Wc))
 
+                def acc_blk():
+                    if not with_acc:
+                        return None
+                    return jax.lax.dynamic_slice(res, (0, 0, col0),
+                                                 (D, Hs_, Wc))
+
                 def seed(c):
                     lr, cp, cb, li = sp.sgm_aggregate_block(
                         blk_v, blk_i, P1, P2, kmode, width=W,
-                        lane_offset=col0)
+                        lane_offset=col0, acc=acc_blk())
                     return lr, (cp, cb, li)
 
                 def cont(c):
                     lr, cp, cb, li = sp.sgm_aggregate_block(
                         blk_v, blk_i, P1, P2, kmode, width=W, seed=False,
                         carry_prev=c[0], carry_best=c[1], last_img=c[2],
-                        lane_offset=col0)
+                        lane_offset=col0, acc=acc_blk())
                     return lr, (cp, cb, li)
 
                 def skip(c):
-                    return jnp.zeros((D, Hs_, Wc), jnp.float32), c
+                    return jax.lax.dynamic_slice(
+                        res, (0, 0, col0), (D, Hs_, Wc)), c
 
                 lr, new_c = jax.lax.cond(
                     active,
@@ -642,10 +672,7 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
                     skip,
                     carry,
                 )
-                old_blk = jax.lax.dynamic_slice(res, (0, 0, col0),
-                                                (D, Hs_, Wc))
-                res = jax.lax.dynamic_update_slice(
-                    res, jnp.where(active, lr, old_blk), (0, 0, col0))
+                res = jax.lax.dynamic_update_slice(res, lr, (0, 0, col0))
                 return res, new_c
 
         vvr, iir, mmr = vp[::-1], ip[::-1], mp[::-1]
@@ -681,8 +708,40 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
         # the four diagonals: (flip_y, flip_x). flip_x is purely local
         # (columns are not sharded); flip_y reverses both local rows and the
         # shard order (seed at the last shard, carry on the reverse permute).
+        # On TPU (use_kv) each segment runs the Pallas kernel
+        # (sgm_aggregate_diag_block) with dx=+-1 passed directly instead of
+        # an x-flip, so the kernel's internally derived absolute-x disparity
+        # mask stays valid; the XLA carry's has-path mask rides along, making
+        # the zero init the seed carry exactly like the XLA twin.
         diag_arrays = []
-        if do_diagonal:
+        diag_specs = []
+        if do_diagonal and use_kv:
+            def diag_init_k():
+                return (
+                    jnp.full((D, Wp), 1e30, jnp.float32),
+                    jnp.zeros((Wp,), jnp.float32),
+                    jnp.zeros((Wp,), jnp.float32),
+                    jnp.zeros((Wp,), jnp.float32),
+                )
+
+            def diag_step_k(res, carry, vv, ii, dxv, active):
+                def run(arg):
+                    c, r = arg
+                    lr, cp, cb, li, ch = sp.sgm_aggregate_diag_block(
+                        vv, ii, c[0], c[1], c[3], c[2], P1, P2, kmode,
+                        dx=dxv, width=W, acc=r)
+                    return lr, (cp, cb, li, ch)
+
+                def skip(arg):
+                    c, r = arg
+                    return r, c
+
+                res, new_c = jax.lax.cond(active, run, skip, (carry, res))
+                return res, new_c
+
+            diag_specs = [(dxv, flip_y) for flip_y in (False, True)
+                          for dxv in (1, -1)]
+        elif do_diagonal:
             for flip_y in (False, True):
                 for flip_x in (False, True):
                     vv = v[::-1] if flip_y else v
@@ -692,23 +751,73 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
                         vv, ii, mm = vv[:, ::-1], ii[:, ::-1], mm[:, ::-1]
                     diag_arrays.append((vv, ii, mm, flip_y, flip_x))
 
+        if use_kv:
+            # ---- two orientation-chained accumulators: the horizontal
+            # result seeds the forward chain; the down-vertical and both
+            # down-diagonals add onto it in-kernel, the up directions onto
+            # the row-reversed chain — the only XLA-side volume op left is
+            # one final add (+ the row flip). Diagonals run on the PADDED
+            # lane block so the buffers coincide; the kernel's
+            # predecessor-inside-width clamp keeps pad lanes from leaking
+            # into lane W-1 under dx=-1.
+            if out_dhw is not None:
+                zf = (jnp.pad(out_dhw, ((0, 0), (0, 0), (0, pad)))
+                      if pad else out_dhw)
+            else:
+                zf = jnp.zeros((D, Hs_, Wp), jnp.float32)
+            fwd_acc = (out_dhw is not None) or do_diagonal
+            rev_acc = do_diagonal
+
+            def loop_body_k(t, state):
+                res_fwd, res_rev, cf, cr, dcar = state
+                res_fwd, cf = pipe_step_k(res_fwd, cf, vk, ik,
+                                          t - idx, idx == 0, fwd_acc)
+                res_rev, cr = pipe_step_k(res_rev, cr, vkr, ikr,
+                                          t - (nsh - 1 - idx),
+                                          idx == nsh - 1, rev_acc)
+                # the post-final-step permute is dead data, but keeps the
+                # loop body uniform so it traces/compiles once
+                cf = tuple(jax.lax.ppermute(x, AXIS, permf) for x in cf)
+                cr = tuple(jax.lax.ppermute(x, AXIS, permr) for x in cr)
+                dcar2 = []
+                for (dxv, flip_y), c0 in zip(diag_specs, dcar):
+                    active = ((t == (nsh - 1 - idx)) if flip_y
+                              else (t == idx))
+                    if flip_y:
+                        res_rev, c1 = diag_step_k(res_rev, c0, vkr, ikr,
+                                                  dxv, active)
+                    else:
+                        res_fwd, c1 = diag_step_k(res_fwd, c0, vk, ik,
+                                                  dxv, active)
+                    perm = permr if flip_y else permf
+                    c1 = tuple(jax.lax.ppermute(y, AXIS, perm) for y in c1)
+                    dcar2.append(c1)
+                return res_fwd, res_rev, cf, cr, tuple(dcar2)
+
+            res_fwd, res_rev, _, _, _ = jax.lax.fori_loop(
+                0, steps, loop_body_k,
+                (zf, jnp.zeros((D, Hs_, Wp), jnp.float32),
+                 init_carry_k(), init_carry_k(),
+                 tuple(diag_init_k() for _ in diag_specs)),
+            )
+            ret = (res_fwd + res_rev[:, ::-1])[:, :, :W]
+            if hz_xla:
+                ret = ret + jnp.moveaxis(out, -1, 0)
+            return ret
+
         def loop_body(t, state):
             res_f, res_r, cf, cr, dres, dcar = state
-            if use_kv:
-                res_f, cf = pipe_step_k(res_f, cf, vk, ik, t - idx, idx == 0)
-                res_r, cr = pipe_step_k(res_r, cr, vkr, ikr,
-                                        t - (nsh - 1 - idx), idx == nsh - 1)
-            else:
-                res_f, cf = pipe_step(res_f, cf, vp, ip, mp,
-                                      t - idx, idx == 0)
-                res_r, cr = pipe_step(res_r, cr, vvr, iir, mmr,
-                                      t - (nsh - 1 - idx), idx == nsh - 1)
+            res_f, cf = pipe_step(res_f, cf, vp, ip, mp,
+                                  t - idx, idx == 0)
+            res_r, cr = pipe_step(res_r, cr, vvr, iir, mmr,
+                                  t - (nsh - 1 - idx), idx == nsh - 1)
             # the post-final-step permute is dead data, but keeps the loop
             # body uniform so it traces/compiles once
             cf = tuple(jax.lax.ppermute(x, AXIS, permf) for x in cf)
             cr = tuple(jax.lax.ppermute(x, AXIS, permr) for x in cr)
             dres2, dcar2 = [], []
-            for (vv, ii, mm, flip_y, _), r0, c0 in zip(diag_arrays, dres, dcar):
+            for (vv, ii, mm, flip_y, _), r0, c0 in zip(diag_arrays, dres,
+                                                       dcar):
                 active = (t == (nsh - 1 - idx)) if flip_y else (t == idx)
                 r1, c1 = diag_step(r0, c0, vv, ii, mm, active)
                 perm = permr if flip_y else permf
@@ -717,34 +826,21 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
                 dcar2.append(c1)
             return res_f, res_r, cf, cr, tuple(dres2), tuple(dcar2)
 
-        if use_kv:
-            z0 = jnp.zeros((D, Hs_, Wp), jnp.float32)
-            c0f, c0r = init_carry_k(), init_carry_k()
-        else:
-            z0 = jnp.zeros((Hs_, Wp, D), v.dtype)
-            c0f, c0r = init_carry(), init_carry()
+        z0 = jnp.zeros((Hs_, Wp, D), v.dtype)
         res_f, res_r, _, _, dres, _ = jax.lax.fori_loop(
             0, steps, loop_body,
-            (z0, jnp.zeros_like(z0), c0f, c0r,
+            (z0, jnp.zeros_like(z0), init_carry(), init_carry(),
              tuple(jnp.zeros_like(v) for _ in diag_arrays),
              tuple(diag_init() for _ in diag_arrays)),
         )
-        if not use_kv:
-            out = out + res_f[:, :W] + res_r[::-1][:, :W]
+        out = out + res_f[:, :W] + res_r[::-1][:, :W]
         for (_, _, _, flip_y, flip_x), r in zip(diag_arrays, dres):
             if flip_x:
                 r = r[:, ::-1]
             if flip_y:
                 r = r[::-1]
             out = out + r
-        ret = jnp.moveaxis(out, -1, 0)
-        if use_kv:
-            # Pallas results are already (D, Hs, W); the up direction ran on
-            # row-reversed inputs so its rows reverse back
-            ret = ret + res_f[:, :, :W] + res_r[:, ::-1, :W]
-            if out_dhw is not None:
-                ret = ret + out_dhw
-        return ret
+        return jnp.moveaxis(out, -1, 0)
 
     f = shard_map(
         local, mesh=mesh,

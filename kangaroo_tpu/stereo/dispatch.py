@@ -12,7 +12,10 @@ def _sgm_shapes_ok(vol) -> bool:
     from . import sgm_pallas
 
     R = sgm_pallas.ROWS_PER_STEP
-    return H % R == 0 and W % R == 0 and D % 8 == 0
+    # non-multiple-of-8 scan lengths up to 128 run as one whole-length
+    # block (sgm_pallas._aggregate_direction)
+    return ((H % R == 0 or H <= 128) and (W % R == 0 or W <= 128)
+            and D % 8 == 0)
 
 
 def semi_global_matching(vol, img, P1=0.01, P2=0.02, do_horiz=True,

@@ -190,6 +190,15 @@ def _aggregate_direction(vol, p2, P1, mask_mode, scan_is_x, width,
     (the wavefront's cross-shard interface)."""
     D, S, N = vol.shape
     R = ROWS_PER_STEP
+    if S % R:
+        # non-multiple-of-8 scan lengths (e.g. VGA rows over 8 shards:
+        # Hs = 60) run as ONE whole-length block — legal because the block
+        # dim equals the array dim. Mosaic program size scales with the
+        # unrolled row count, so cap it (the row-blocked LR kernel found
+        # ~128 rows the safe bound); longer non-divisible scans raise and
+        # callers fall back to the XLA twin.
+        assert S <= 128, f"non-multiple-of-8 scan length {S} > 128"
+        R = S
     n_blocks = S // R
     if reverse:
         blk = lambda g: (0, n_blocks - 1 - g, 0)
@@ -271,7 +280,7 @@ def sgm_aggregate_scan(vol, img, P1=0.01, P2=0.02, do_reverse: bool = True,
     (D, S, N) contribution (added onto ``acc`` when given)."""
     D, S, N = vol.shape
     R = ROWS_PER_STEP
-    assert S % R == 0, f"scan length {S} must be a multiple of {R}"
+    assert S % R == 0 or S <= 128, f"scan length {S}: need a multiple of {R} or <= 128"
     if width is None:
         width = S if scan_is_x else N
     if vol.dtype != jnp.bfloat16:
@@ -316,7 +325,7 @@ def sgm_aggregate_block(vol, img, P1=0.01, P2=0.02, mask_mode: str = "left",
     final best, this segment's last intensity row).
     """
     D, S, N = vol.shape
-    assert S % ROWS_PER_STEP == 0
+    assert S % ROWS_PER_STEP == 0 or S <= 128
     if width is None:
         width = N
     v = vol if vol.dtype == jnp.bfloat16 else vol.astype(jnp.float32)
@@ -377,31 +386,67 @@ def semi_global_matching(vol, img, P1=0.01, P2=0.02, do_horiz: bool = True,
 
 
 def _make_diag_kernel(P1, R, total, width, mask_mode, dx, reverse: bool,
-                      accumulate: bool):
+                      accumulate: bool, carry_in: bool = False,
+                      carry_out: bool = False):
     """Diagonal-path kernel: like _make_kernel but the carry shifts ``dx``
     lanes per scan step, so pixel (x, row) continues the path from
     (x - dx, row -+ 1). Lanes whose predecessor falls outside the image (and
     the whole first row) re-seed: Lr = C, lastBest = 0 — identical start
     semantics to the straight paths. One kernel covers direction
     (dx, -1 if reverse else +1); ``accumulate`` chains onto the aliased
-    accumulator like _make_kernel."""
+    accumulator like _make_kernel.
+
+    ``carry_in`` continues from an upstream row segment (the multi-chip
+    wavefront; semantics of sgm._scan_diagonal ``carry_in``): three extra
+    inputs hold the upstream (prev Lr (D, N), lastBest (1, N), has-path
+    (1, N) 0/1 mask) and a has-mask scratch replaces the ``row_pos >= 1``
+    fresh-start test — so an all-zero has mask IS the seed carry
+    (seed == continue, like the XLA twin). ``carry_out`` adds outputs
+    receiving the final (prev, best) for the downstream segment."""
 
     def kernel(vol_ref, p2_ref, *refs):
+        if carry_in:
+            cinp_ref, cinb_ref, cinh_ref = refs[0], refs[1], refs[2]
+            refs = refs[3:]
         if accumulate:
-            acc_ref, out_ref, prev, best = refs
+            acc_ref, refs = refs[0], refs[1:]
+        if carry_out:
+            out_ref, coutp_ref, coutb_ref = refs[0], refs[1], refs[2]
+            refs = refs[3:]
         else:
-            out_ref, prev, best = refs
+            out_ref, refs = refs[0], refs[1:]
+        if carry_in:
+            prev, best, hasm = refs
+        else:
+            prev, best = refs
         g = pl.program_id(0)
         D, N = prev.shape
         dsub = jax.lax.broadcasted_iota(jnp.int32, (D, N), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (D, N), 1)
         static_mask = (dsub <= lane) if mask_mode == "left" else (lane + dsub < width)
-        pred_in_image = (lane - dx >= 0) & (lane - dx < N)
+        # the predecessor must lie inside the IMAGE (width), not just the
+        # lane block: padded-lane callers (the wavefront's shared padded
+        # accumulator) would otherwise leak pad garbage into lane width-1
+        # under dx=-1; for unpadded callers width == N and this is the
+        # original test
+        pred_in_image = (lane - dx >= 0) & (lane - dx < width)
+
+        if carry_in:
+            @pl.when(g == 0)
+            def _():
+                prev[:] = cinp_ref[:]
+                best[:] = jnp.broadcast_to(cinb_ref[:], best.shape)
+                hasm[:] = jnp.broadcast_to(cinh_ref[:], hasm.shape)
 
         def step(c, i, row_pos):
             c = c.astype(jnp.float32)
             p2 = p2_ref[0, i, :].reshape(1, N)
-            has_prev = (row_pos >= 1) & pred_in_image
+            if carry_in:
+                # the upstream has-mask rides the same dx shift as the path
+                hs = pltpu.roll(hasm[0:1, :], dx % N, axis=1) > 0.5
+                has_prev = hs & pred_in_image
+            else:
+                has_prev = (row_pos >= 1) & pred_in_image
             pv = jnp.where(has_prev, pltpu.roll(prev[:], dx % N, axis=1), _BIG)
             lastbest = jnp.where(
                 has_prev[0:1, :], pltpu.roll(best[0:1, :], dx % N, axis=1), 0.0
@@ -424,10 +469,16 @@ def _make_diag_kernel(P1, R, total, width, mask_mode, dx, reverse: bool,
                 has_prev[0:1, :], jnp.min(cr, axis=0, keepdims=True), 0.0
             )
             best[:] = jnp.broadcast_to(newbest, best.shape)
+            if carry_in:
+                hasm[:] = jnp.ones(hasm.shape, hasm.dtype)
 
         for ii in range(R):
             i = R - 1 - ii if reverse else ii
             step(vol_ref[:, i, :], i, g * R + ii)
+
+        if carry_out:
+            coutp_ref[:] = prev[:]
+            coutb_ref[:] = best[0:1, :]
 
     return kernel
 
@@ -442,39 +493,73 @@ def _p2_diag(img, P2, dx: int, reverse: bool):
 
 
 def _diag_direction(vol, p2, P1, mask_mode, dx, width, reverse: bool,
-                    acc=None):
+                    acc=None, carry=None, want_carry: bool = False):
     D, S, N = vol.shape
     R = ROWS_PER_STEP
+    if S % R:
+        # whole-length single block for non-multiple-of-8 scans (see
+        # _aggregate_direction)
+        assert S <= 128, f"non-multiple-of-8 scan length {S} > 128"
+        R = S
     n_blocks = S // R
     if reverse:
         blk = lambda g: (0, n_blocks - 1 - g, 0)
     else:
         blk = lambda g: (0, g, 0)
+    if carry is not None or want_carry:
+        assert not reverse, "carry segments scan forward over pre-reversed data"
     kernel = _make_diag_kernel(P1, R, S, width, mask_mode, dx, reverse,
-                               acc is not None)
+                               acc is not None, carry_in=carry is not None,
+                               carry_out=want_carry)
+    const2 = lambda g: (0, 0)
     in_specs = [
         pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, R, N), blk, memory_space=pltpu.VMEM),
     ]
     operands = [vol, p2]
     kwargs = {}
+    if carry is not None:
+        cp, cb, ch = carry
+        in_specs.append(pl.BlockSpec((D, N), const2, memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, N), const2, memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, N), const2, memory_space=pltpu.VMEM))
+        operands.append(cp.astype(jnp.float32))
+        operands.append(cb.astype(jnp.float32).reshape(1, N))
+        operands.append(ch.astype(jnp.float32).reshape(1, N))
     if acc is not None:
         in_specs.append(pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM))
         operands.append(acc)
-        kwargs["input_output_aliases"] = {2: 0}
+        kwargs["input_output_aliases"] = {len(operands) - 1: 0}
+    out_specs = pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((D, S, N), jnp.float32)
+    if want_carry:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((D, N), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), const2, memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct((D, N), jnp.float32),
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+        ]
+    scratch = [
+        pltpu.VMEM((D, N), jnp.float32),
+        pltpu.VMEM((8, N), jnp.float32),
+    ]
+    if carry is not None:
+        scratch.append(pltpu.VMEM((8, N), jnp.float32))
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((D, R, N), blk, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((D, S, N), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((D, N), jnp.float32),
-            pltpu.VMEM((8, N), jnp.float32),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
+        **kwargs,
     )(*operands)
 
 
@@ -488,7 +573,7 @@ def sgm_aggregate_diag(vol, img, P1=0.01, P2=0.02, mask_mode: str = "left",
     summed contribution (added onto ``acc`` when given)."""
     D, S, N = vol.shape
     R = ROWS_PER_STEP
-    assert S % R == 0
+    assert S % R == 0 or S <= 128
     if width is None:
         width = N
     if vol.dtype != jnp.bfloat16:
@@ -500,3 +585,42 @@ def sgm_aggregate_diag(vol, img, P1=0.01, P2=0.02, mask_mode: str = "left",
                           acc=acc)
     return _diag_direction(vol, p2r, P1, mask_mode, dx, width, reverse=True,
                            acc=out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("P1", "P2", "mask_mode", "dx", "width")
+)
+def sgm_aggregate_diag_block(vol, img, carry_prev, carry_best, carry_has,
+                             last_img, P1=0.01, P2=0.02,
+                             mask_mode: str = "left", dx: int = 1,
+                             width: int | None = None, acc=None):
+    """ONE down-diagonal direction (dx, +1) over a row segment with
+    cross-segment carry — the 8-path leg of the sharded wavefront
+    (parallel/sharding.py; semantics of sgm._scan_diagonal ``carry_in``).
+    The up-diagonals feed row-reversed inputs; the two x-senses pass
+    ``dx``=+-1 directly (no x-flip, so the kernel's internally derived
+    absolute-x disparity mask stays valid).
+
+    The carry is the XLA twin's (prev Lr (D, N), lastBest (N,), last
+    intensity (N,), has-path (N,) mask) — an all-zero ``carry_has`` IS the
+    fresh start, so seeding and continuing are one code path. Returns
+    (Lr volume added onto ``acc`` when given, final prev, final best,
+    this segment's last intensity row, all-ones has mask).
+    """
+    D, S, N = vol.shape
+    assert S % ROWS_PER_STEP == 0 or S <= 128
+    if width is None:
+        width = N
+    v = vol if vol.dtype == jnp.bfloat16 else vol.astype(jnp.float32)
+    f = img.astype(jnp.float32)
+    p2 = _p2_diag(img, P2, dx, reverse=False)
+    # row 0's path predecessor is the UPSTREAM last row, shifted dx lanes
+    # (edge fill is irrelevant: those lanes have no predecessor)
+    idx = jnp.arange(N)
+    edge = (idx - dx < 0) | (idx - dx >= N)
+    pred0 = jnp.where(edge, 0.0, jnp.roll(last_img.astype(jnp.float32), dx))
+    p2 = p2.at[0, 0, :].set(P2 / (1.0 + jnp.abs(pred0 - f[0])))
+    out, cp, cb = _diag_direction(
+        v, p2, P1, mask_mode, dx, width, reverse=False, acc=acc,
+        carry=(carry_prev, carry_best, carry_has), want_carry=True)
+    return out, cp, cb[0], f[-1], jnp.ones((N,), jnp.float32)

@@ -47,6 +47,23 @@ print(f"sharded SGM (1 shard, VGA/64) on TPU: {ms:.2f} ms "
       "vertical wavefront's block segments chain the cross-shard carry "
       "through sgm_aggregate_block)")
 
+got8 = np.asarray(
+    sharding.sharded_semi_global_matching(vol, img, 0.01, 0.02, mesh,
+                                          do_diagonal=True))
+want8 = np.asarray(sx.semi_global_matching(vol, img, 0.01, 0.02,
+                                           do_diagonal=True))
+err8 = np.abs(got8[m] - want8[m]) / np.maximum(np.abs(want8[m]), 1.0)
+print(f"8-path wavefront vs single-device XLA: rel err {err8.max():.2e}")
+assert err8.max() < 1e-3, err8.max()
+
+ms8 = 1e3 * time_fn(
+    lambda v, i: sharding.sharded_semi_global_matching(
+        v, i, 0.01, 0.02, mesh, do_diagonal=True),
+    vol, img, iters=20)
+print(f"8-path wavefront SGM (1 shard, VGA/64) on TPU: {ms8:.2f} ms "
+      "(all six row-major directions are Pallas carry segments; the "
+      "diagonals pass dx=+-1 straight to the kernel)")
+
 got_r = np.asarray(
     sharding.sharded_semi_global_matching_reshard(vol, img, 0.01, 0.02, mesh))
 err_r = np.abs(got_r[m] - want[m]) / np.maximum(np.abs(want[m]), 1.0)

@@ -218,6 +218,157 @@ class TestSgmCarrySegments:
         got = np.concatenate([np.asarray(top), np.asarray(bot)], axis=1)
         np.testing.assert_allclose(got, want, atol=1e-6)
 
+    def test_block_acc_chaining(self, interpret, rng):
+        """acc + carry_out together: the segment adds onto the aliased
+        accumulator block (the wavefront's shared-chain contract) and the
+        returned carry is unchanged by the chaining."""
+        from kangaroo_tpu.stereo import sgm_pallas as sp
+
+        D, H, W = 8, 16, 128
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        acc = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        plain, cp, cb, li = sp.sgm_aggregate_block(vol, img, 0.01, 0.02,
+                                                   "left", width=W)
+        accd, cp2, cb2, li2 = sp.sgm_aggregate_block(vol, img, 0.01, 0.02,
+                                                     "left", width=W,
+                                                     acc=acc)
+        np.testing.assert_allclose(np.asarray(accd) - np.asarray(acc),
+                                   np.asarray(plain), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(cp), np.asarray(cp2))
+        np.testing.assert_array_equal(np.asarray(cb), np.asarray(cb2))
+
+    @pytest.mark.parametrize("dx", [1, -1])
+    def test_diag_chained_segments_equal_single(self, interpret, rng, dx):
+        """Two carry-chained diagonal row segments aggregate identically to
+        one full-height pass (the has-mask makes seed == continue)."""
+        from kangaroo_tpu.stereo import sgm_pallas as sp
+
+        D, H, W = 8, 32, 128
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+
+        def zero_carry():
+            return (jnp.full((D, W), 1e30, jnp.float32),
+                    jnp.zeros((W,), jnp.float32),
+                    jnp.zeros((W,), jnp.float32),
+                    jnp.zeros((W,), jnp.float32))
+
+        cp0, cb0, li0, ch0 = zero_carry()
+        whole, _, _, _, _ = sp.sgm_aggregate_diag_block(
+            vol, img, cp0, cb0, ch0, li0, 0.01, 0.02, "left", dx=dx, width=W)
+        top, cp, cb, li, ch = sp.sgm_aggregate_diag_block(
+            vol[:, :16], img[:16], cp0, cb0, ch0, li0, 0.01, 0.02, "left",
+            dx=dx, width=W)
+        bot, _, _, _, _ = sp.sgm_aggregate_diag_block(
+            vol[:, 16:], img[16:], cp, cb, ch, li, 0.01, 0.02, "left",
+            dx=dx, width=W)
+        got = np.concatenate([np.asarray(top), np.asarray(bot)], axis=1)
+        np.testing.assert_array_equal(got, np.asarray(whole))
+
+    @pytest.mark.parametrize("dx", [1, -1])
+    def test_diag_block_matches_xla_scan_carry(self, interpret, rng, dx):
+        """The Pallas diagonal segment kernel matches sgm._scan_diagonal's
+        carry_in/return_carry path (the XLA wavefront twin)."""
+        from kangaroo_tpu.stereo import sgm as sgm_mod
+        from kangaroo_tpu.stereo import sgm_pallas as sp
+
+        D, H, W = 8, 16, 128
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        d = jnp.arange(D)[None, None, :]
+        x = jnp.arange(W)[None, :, None]
+        dmask = jnp.broadcast_to(d <= x, (H, W, D))
+        v_lnd = jnp.moveaxis(vol, 0, -1)  # (H, W, D)
+        lr1, fin = sgm_mod._scan_diagonal(v_lnd[:8], img[:8], dmask[:8],
+                                          0.01, 0.02, dx=dx,
+                                          return_carry=True)
+        lr2 = sgm_mod._scan_diagonal(v_lnd[8:], img[8:], dmask[8:],
+                                     0.01, 0.02, dx=dx, carry_in=fin)
+        want = np.moveaxis(np.concatenate([np.asarray(lr1), np.asarray(lr2)],
+                                          axis=0), -1, 0)
+        cp0 = jnp.full((D, W), 1e30, jnp.float32)
+        z = jnp.zeros((W,), jnp.float32)
+        top, cp, cb, li, ch = sp.sgm_aggregate_diag_block(
+            vol[:, :8], img[:8], cp0, z, z, z, 0.01, 0.02, "left",
+            dx=dx, width=W)
+        bot, _, _, _, _ = sp.sgm_aggregate_diag_block(
+            vol[:, 8:], img[8:], cp, cb, ch, li, 0.01, 0.02, "left",
+            dx=dx, width=W)
+        got = np.concatenate([np.asarray(top), np.asarray(bot)], axis=1)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    @pytest.mark.parametrize("dx", [1, -1])
+    def test_diag_block_padded_acc_matches_unpadded(self, interpret, rng, dx):
+        """Padded-lane diag segments with acc chaining (the wavefront's
+        shared padded accumulator) match the unpadded run on valid lanes —
+        the predecessor-inside-width clamp keeps pad garbage out of lane
+        W-1 under dx=-1."""
+        from kangaroo_tpu.stereo import sgm_pallas as sp
+
+        D, H, W, PAD = 8, 16, 128, 16
+        Wp = W + PAD
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+
+        cp0 = jnp.full((D, W), 1e30, jnp.float32)
+        z = jnp.zeros((W,), jnp.float32)
+        want, _, _, _, _ = sp.sgm_aggregate_diag_block(
+            vol, img, cp0, z, z, z, 0.01, 0.02, "left", dx=dx, width=W)
+
+        volp = jnp.pad(vol, ((0, 0), (0, 0), (0, PAD)))
+        imgp = jnp.pad(img, ((0, 0), (0, PAD)))
+        acc = jnp.asarray(rng.random((D, H, Wp)).astype(np.float32))
+        cp0p = jnp.full((D, Wp), 1e30, jnp.float32)
+        zp = jnp.zeros((Wp,), jnp.float32)
+        got, _, _, _, _ = sp.sgm_aggregate_diag_block(
+            volp, imgp, cp0p, zp, zp, zp, 0.01, 0.02, "left", dx=dx,
+            width=W, acc=acc)
+        np.testing.assert_allclose(
+            np.asarray(got)[:, :, :W] - np.asarray(acc)[:, :, :W],
+            np.asarray(want), atol=1e-5)
+
+
+class TestShardedWavefrontInterpret:
+    """The full use_kv wavefront composition (Pallas carry segments +
+    cond + fori_loop + the two orientation-chained aliased accumulators)
+    on a 1-device CPU mesh with kernels in interpret mode — the CI twin of
+    scripts/check_sharded_tpu.py's hardware run. (The Mosaic interpret
+    machinery's thread barrier deadlocks under a multi-device shard_map,
+    so the cross-shard ppermute traffic is exercised by the XLA-twin tests
+    in test_parallel.py and by the hardware script; this covers the
+    on-TPU dispatch path's composition.)"""
+
+    @pytest.mark.parametrize("do_diagonal", [False, True])
+    # H=20: a non-multiple-of-8 shard height (the VGA/8-shard Hs=60 class)
+    # runs the whole segment as one Pallas block instead of falling back
+    @pytest.mark.parametrize("H", [16, 20])
+    def test_use_kv_wavefront_matches_xla(self, interpret, rng, monkeypatch,
+                                          do_diagonal, H):
+        import jax
+
+        from kangaroo_tpu import backend
+        from kangaroo_tpu.parallel import mesh as mesh_mod
+        from kangaroo_tpu.parallel import sharding
+        from kangaroo_tpu.stereo import sgm as sx
+
+        # a jit executable cached from an un-patched call would bypass the
+        # forced dispatch (CLAUDE.md pitfall)
+        jax.clear_caches()
+        monkeypatch.setattr(backend, "on_tpu", lambda: True)
+        D, W = 8, 16
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        mesh = mesh_mod.make_mesh(1)
+        got = np.asarray(sharding.sharded_semi_global_matching(
+            vol, img, 0.01, 0.02, mesh, do_diagonal=do_diagonal))
+        want = np.asarray(sx.semi_global_matching(
+            vol, img, 0.01, 0.02, do_diagonal=do_diagonal))
+        d = np.arange(D)[:, None, None]
+        x = np.arange(W)[None, None, :]
+        m = np.broadcast_to(d <= x, (D, H, W))
+        np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-5)
+
 
 class TestDtamPallas:
     @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
