@@ -29,6 +29,10 @@ def main():
                          "default: synthetic orbit sequence")
     ap.add_argument("--depth-scale", type=float, default=1e-3,
                     help="raw depth -> metres (1/1000 for Kinect mm files)")
+    ap.add_argument("--sequence", action="store_true",
+                    help="replay the synthetic sequence in ONE device "
+                         "dispatch (lax.scan of the frame step) instead of "
+                         "the per-frame host loop")
     args = ap.parse_args()
 
     import kangaroo_tpu as kt
@@ -58,18 +62,28 @@ def main():
                   f"tracking_good={pipe.tracking_good}")
     else:
         scene = synthetic.sphere_scene(res=128)
-        for i, (T_wc, depth) in enumerate(
-            synthetic.depth_sequence(args.frames, K, args.width, args.height,
-                                     scene=scene, step=0.02)
-        ):
-            depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
-            if i == 0:
-                pipe.T_wl = T_wc
-            est = pipe.process_frame(depth)
-            err = float(jnp.abs(est - T_wc).max())
-            errs.append(err)
-            print(f"frame {i}: rmse {pipe.rmse:.4f} tracking_good={pipe.tracking_good} "
-                  f"pose err {err:.4f}")
+        frames = list(synthetic.depth_sequence(
+            args.frames, K, args.width, args.height, scene=scene, step=0.02))
+        pipe.T_wl = frames[0][0]
+        if args.sequence:
+            depths = jnp.stack([jnp.where(jnp.isfinite(d), d, 0.0)
+                                for _, d in frames])
+            poses, rmses = pipe.run_sequence(depths)
+            for i, (T_wc, _) in enumerate(frames):
+                err = float(jnp.abs(poses[i] - T_wc).max())
+                errs.append(err)
+                rmse = float(rmses[i]) if i > 0 else 0.0  # frame 0: no model
+                print(f"frame {i}: rmse {rmse:.4f} "
+                      f"pose err {err:.4f}  (one-dispatch scan replay)")
+        else:
+            for i, (T_wc, depth) in enumerate(frames):
+                depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
+                est = pipe.process_frame(depth)
+                err = float(jnp.abs(est - T_wc).max())
+                errs.append(err)
+                print(f"frame {i}: rmse {pipe.rmse:.4f} "
+                      f"tracking_good={pipe.tracking_good} "
+                      f"pose err {err:.4f}")
 
     d, n, img = pipe.render()
     _common.save_png(f"{out}/kf_render.png", img)

@@ -46,8 +46,6 @@ def main():
 
     if args.mode == "sgm" and args.heightmap:
         # the full stereo2 app: SGM -> vbo -> PlaneFitGN -> HeightmapFusion
-        from kangaroo_tpu.fusion.marching_cubes import save_ply as save_hm
-
         K0 = Intrinsics.centered(args.width * 0.9, args.width, args.height)
         app = stereo_sgm.Stereo2App(
             K0, args.baseline,

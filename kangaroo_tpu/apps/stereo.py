@@ -183,8 +183,10 @@ class MultiViewStereo:
         if right is None:
             self.n, self.s = cv.cost_volume_zero(self.cfg.max_disp, H, W)
         else:
+            # seed with the SAME patch radius add() accumulates with —
+            # the running mean must average commensurate SAD magnitudes
             self.n, self.s = cv.cost_volume_from_stereo(
-                img_v, right, self.cfg.max_disp, sd=-1, rad=2)
+                img_v, right, self.cfg.max_disp, sd=-1, rad=self.rad)
 
     def add(self, img_c, T_wc):
         """Accumulate one posed frame (``costvol_add``, main.cpp:478-481:

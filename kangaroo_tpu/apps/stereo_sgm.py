@@ -72,15 +72,10 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
 
     if cfg.lr_check:
         if cfg.lr_from_left:
-            # re-anchor the left aggregation on the right grid:
-            # aggR[d, y, x] = aggL[d, y, x + d] — a per-d LANE ROLL, not a
-            # take_along_axis (which lowers to a lane gather on TPU);
-            # wrapped lanes land at x + d >= W where the right-anchored
-            # lattice mask already rejects them (measured 0.026 ms vs the
-            # 2.3 ms second census+aggregation path it replaces)
-            D = cfg.max_disp
-            agg_r = jnp.stack(
-                [jnp.roll(agg_l[d], -d, axis=1) for d in range(D)], axis=0)
+            # re-anchor the left aggregation on the right grid with lane
+            # rolls (cv.reanchor_right docstring has the wrap/mask argument;
+            # 0.026 ms vs the 2.3 ms second census+aggregation it replaces)
+            agg_r = cv.reanchor_right(agg_l)
         else:
             vol_r = census_mod.census_cost_volume(cr, cl, cfg.max_disp, 1, bits,
                                                   dtype=vol_dtype)
@@ -132,8 +127,16 @@ def sgm_pipeline_batched(lefts, rights, cfg: SgmConfig = SgmConfig()):
     from ..stereo import sgm_pallas as sp
 
     B, H, W = lefts.shape
-    if not backend.use_pallas(H % sp.ROWS_PER_STEP == 0
-                              and not cfg.do_diagonal and cfg.lr_from_left):
+    from ..stereo import dispatch as _dispatch
+
+    # seam re-seeding needs H to be a step multiple, and the stacked
+    # (D, B*H, W) volume must fit the kernels on BOTH scan axes
+    # (sgm_shapes_ok) or the per-frame pipeline's XLA fallback is the
+    # correct path.
+    if not backend.use_pallas(
+            H % sp.ROWS_PER_STEP == 0
+            and _dispatch.sgm_shapes_ok((cfg.max_disp, B * H, W))
+            and not cfg.do_diagonal and cfg.lr_from_left):
         return jnp.stack([sgm_pipeline(lefts[k], rights[k], cfg)
                           for k in range(B)])
 
@@ -160,9 +163,7 @@ def sgm_pipeline_batched(lefts, rights, cfg: SgmConfig = SgmConfig()):
     else:
         disp_l = cv.cost_vol_minimum(agg_l, cfg.max_disp).astype(jnp.float32)
     if cfg.lr_check:
-        D = cfg.max_disp
-        agg_r = jnp.stack(
-            [jnp.roll(agg_l[d], -d, axis=1) for d in range(D)], axis=0)
+        agg_r = cv.reanchor_right(agg_l)
         if cfg.subpix:
             disp_r = fast.cost_vol_minimum_subpix(agg_r, 1)
         else:
@@ -248,7 +249,9 @@ class Stereo2App:
                 zmax=self.plane_within, c=self.plane_c)
 
     def __call__(self, left, right, T_wc=None, image=None):
-        """Process one rectified frame; returns (disp, d3d, heightmap-state).
+        """Process one rectified frame; returns ``(disp, d3d)``. The plane
+        fit lands in ``self.n_c``/``self.z`` and the heightmap state in
+        ``self.hm`` (mutable, like the reference app's globals).
 
         ``T_wc`` is the camera pose feeding the heightmap (main.cpp tracks
         it from Vicon/file; defaults to identity); ``image`` optionally

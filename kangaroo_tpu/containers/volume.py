@@ -21,9 +21,11 @@ from .bbox import BoundingBox
 
 def _sub_index_box(bbox: BoundingBox, w: int, h: int, d: int,
                    roi: BoundingBox):
-    """Integer voxel index box (inclusive lo, exclusive hi per axis, xyz
+    """Integer voxel index box (inclusive lo, INCLUSIVE hi per axis, xyz
     order) covering ``roi`` ∩ ``bbox``, voxel-aligned outward — the index
     arithmetic of BoundedVolume::SubBoundingVolume (BoundedVolume.h:138-152).
+    Callers slice ``data[ilo:ihi + 1]`` so the sub-volume's bbox
+    (``blo + ihi * step``) lands exactly on its last voxel plane.
     Host-side: indices are concrete so the sub-array has a static shape."""
     n = np.array([w - 1, h - 1, d - 1], np.float64)
     blo = np.asarray(bbox.lo, np.float64)

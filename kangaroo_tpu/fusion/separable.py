@@ -453,12 +453,17 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
 
         from .. import backend
 
-        if backend.use_pallas() and os.environ.get("KANGAROO_PALLAS_FUSE"):
+        if (backend.use_pallas() and os.environ.get("KANGAROO_PALLAS_FUSE")
+                and near is None and far is None):
             # VMEM-resident plane loop (separable_pallas.py). Measured
             # bit-identical and NOT faster than the XLA scan (2.52 vs
             # 2.48 ms at 256^3/VGA — the scan already runs at the matmul
             # compute floor and XLA overlaps its slab staging), while the
             # first device-side Mosaic compile takes ~20 min. Opt-in only.
+            # Skipping the clip_planes window here is safe (the window is
+            # bit-equal to the full sweep), but near/far genuinely crop —
+            # the kernel has no plane window, so fall through to the XLA
+            # twin whenever they are set to keep the engines identical.
             from . import separable_pallas as sp
 
             en = (jnp.float32(1.0) if enable is None

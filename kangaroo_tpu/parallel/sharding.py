@@ -395,8 +395,13 @@ def sharded_semi_global_matching_reshard(vol, img, P1, P2, mesh, sd: int = -1):
         v32 = v_cols.astype(jnp.float32)
         img_cols = jax.lax.dynamic_slice(img_rep, (0, off), (H, Ws))
 
-        # ---- vertical pair on local columns (full-height recurrences)
-        use_pallas = backend.use_pallas(H % sp.ROWS_PER_STEP == 0)
+        # ---- vertical pair on local columns (full-height recurrences).
+        # The gate must cover BOTH local passes: vertical scans length H
+        # on column shards, horizontal scans length W on row shards after
+        # the all_to_all — sgm_shapes_ok checks both axes (and D % 8).
+        from ..stereo.dispatch import sgm_shapes_ok
+
+        use_pallas = backend.use_pallas(sgm_shapes_ok((D, H, W)))
         if use_pallas:
             acc_v = sp.sgm_aggregate_scan(
                 v32, img_cols, P1, P2, True,

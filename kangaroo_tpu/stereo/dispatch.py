@@ -7,8 +7,13 @@ from . import costvolume as _cv
 from . import sgm as _sgm
 
 
-def _sgm_shapes_ok(vol) -> bool:
-    D, H, W = vol.shape
+def sgm_shapes_ok(shape) -> bool:
+    """Whether a (D, H, W) cost volume fits the Pallas SGM kernels.
+
+    Every Pallas gate that feeds ``sgm_pallas`` (per-frame, stacked-batch,
+    sharded reshard) must check this — both scan axes hit
+    ``sgm_pallas._aggregate_direction``'s length assert."""
+    D, H, W = shape
     from . import sgm_pallas
 
     R = sgm_pallas.ROWS_PER_STEP
@@ -16,6 +21,10 @@ def _sgm_shapes_ok(vol) -> bool:
     # block (sgm_pallas._aggregate_direction)
     return ((H % R == 0 or H <= 128) and (W % R == 0 or W <= 128)
             and D % 8 == 0)
+
+
+def _sgm_shapes_ok(vol) -> bool:
+    return sgm_shapes_ok(vol.shape)
 
 
 def semi_global_matching(vol, img, P1=0.01, P2=0.02, do_horiz=True,

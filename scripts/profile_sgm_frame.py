@@ -78,10 +78,8 @@ report("LR check both", lambda a, b: fast.left_right_check(
 report("FULL sgm_pipeline", lambda l, r: stereo_sgm.sgm_pipeline(l, r, cfg),
        left, right, iters=20)
 
-# candidate: roll-based re-anchor of the left aggregation (lr_from_left
-# without the take_along_axis gather)
-def reanchor_roll(agg):
-    slabs = [jnp.roll(agg[d], -d, axis=1) for d in range(D)]
-    return jnp.stack(slabs, axis=0)
+# roll-based re-anchor of the left aggregation (lr_from_left without the
+# take_along_axis gather) — the production helper
+from kangaroo_tpu.stereo import costvolume as cv_mod
 
-report("re-anchor aggL->aggR (rolls)", reanchor_roll, agg_l)
+report("re-anchor aggL->aggR (rolls)", cv_mod.reanchor_right, agg_l)

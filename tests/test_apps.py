@@ -109,6 +109,42 @@ class TestKinectFusionApp:
         assert drift < 0.06
         assert float(pipe.vol.weight.max()) > 0
 
+    def test_run_sequence_matches_per_frame_loop(self):
+        """The one-dispatch scan replay (run_sequence) must track like the
+        host loop: same frame step, so poses and the fused volume agree up
+        to XLA fusion-order float noise."""
+        W, H = 64, 48
+        K = kt.Intrinsics.centered(55.0, W, H)
+        mk = lambda: kf.KinectFusion(K, kf.KinectFusionConfig(
+            w=W, h=H, vol_res=48, vol_extent=1.2, max_levels=2, its=(2, 2),
+            near=0.5, far=6.0, max_rmse=0.3, bilateral_minval=0.2,
+        ))
+        scene = synthetic.sphere_scene(res=64)
+        frames = list(synthetic.depth_sequence(4, K, W, H, scene=scene,
+                                               step=0.015))
+        depths = [jnp.where(jnp.isfinite(d), d, 0.0) for _, d in frames]
+
+        loop = mk()
+        loop.T_wl = frames[0][0]
+        loop_poses = [np.asarray(loop.process_frame(d)) for d in depths]
+
+        seq = mk()
+        seq.T_wl = frames[0][0]
+        poses, rmses = seq.run_sequence(jnp.stack(depths))
+        assert poses.shape == (4, 3, 4) and rmses.shape == (4,)
+        np.testing.assert_allclose(np.asarray(poses[-1]), loop_poses[-1],
+                                   atol=1e-4)
+        assert seq.frame == 4 and seq.tracking_good
+        np.testing.assert_allclose(np.asarray(seq.vol.weight),
+                                   np.asarray(loop.vol.weight), atol=1e-3)
+        # resuming with more frames picks up where the scan left off: the
+        # repeated frame re-tracks against the re-fused model, so the pose
+        # legitimately shifts a little — assert continuity, not identity
+        poses2, _ = seq.run_sequence(jnp.stack(depths[-1:]))
+        assert seq.frame == 5 and seq.tracking_good
+        np.testing.assert_allclose(np.asarray(poses2[-1]),
+                                   np.asarray(poses[-1]), atol=0.05)
+
     def test_divergence_resets_and_refuses_current_frame(self):
         """A frame with zero valid ICP correspondences yields a non-finite
         rmse (sqrt(0/0)); the app must reset AND fuse the current frame into

@@ -370,6 +370,50 @@ class TestShardedWavefrontInterpret:
         np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-5)
 
 
+class TestAwkwardWidthFallback:
+    """Widths the Pallas SGM kernels cannot scan (> 128 and not a multiple
+    of ROWS_PER_STEP) must dispatch to the XLA twins, not hit the kernels'
+    trace-time length asserts."""
+
+    def test_batched_pipeline_falls_back(self, interpret, rng, monkeypatch):
+        from kangaroo_tpu import backend
+        from kangaroo_tpu.apps import stereo_sgm, synthetic
+
+        monkeypatch.setattr(backend, "on_tpu", lambda: True)
+        jax.clear_caches()
+        B, W, H, D = 2, 132, 16, 16
+        ls, rs = [], []
+        for k in range(B):
+            l, r, _ = synthetic.stereo_pair(W, H, D, seed=k)
+            ls.append(l)
+            rs.append(r)
+        cfg = stereo_sgm.SgmConfig(max_disp=D, census_window="9x7")
+        got = np.asarray(stereo_sgm.sgm_pipeline_batched(
+            jnp.stack(ls), jnp.stack(rs), cfg))
+        assert got.shape == (B, H, W)
+        assert np.isfinite(got).any()
+
+    def test_reshard_sgm_falls_back(self, interpret, rng, monkeypatch):
+        from kangaroo_tpu import backend
+        from kangaroo_tpu.parallel import mesh as mesh_mod
+        from kangaroo_tpu.parallel import sharding
+        from kangaroo_tpu.stereo import sgm as sx
+
+        monkeypatch.setattr(backend, "on_tpu", lambda: True)
+        jax.clear_caches()
+        D, H, W = 8, 16, 132
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        mesh = mesh_mod.make_mesh(1)
+        got = np.asarray(sharding.sharded_semi_global_matching_reshard(
+            vol, img, 0.01, 0.02, mesh))
+        want = np.asarray(sx.semi_global_matching(vol, img, 0.01, 0.02))
+        d = np.arange(D)[:, None, None]
+        x = np.arange(W)[None, None, :]
+        m = np.broadcast_to(d <= x, (D, H, W))
+        np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-5)
+
+
 class TestDtamPallas:
     @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
     def test_whole_solve_matches_xla_loop(self, interpret, rng, dtype):

@@ -286,6 +286,40 @@ class TestPallasFuse:
         np.testing.assert_allclose(np.asarray(got.weight),
                                    np.asarray(want.weight), atol=1e-4)
 
+    def test_near_far_crop_falls_through_to_xla(self, monkeypatch):
+        """The opt-in Pallas fuse has no plane window: when the knear/kfar
+        ROI crop is requested it must fall through to the XLA twin so the
+        two engines stay identical (the crop is NOT bit-equal to the full
+        sweep — that is its point)."""
+        from kangaroo_tpu import backend
+        from kangaroo_tpu.fusion import separable_pallas as sp
+        from jax.experimental import pallas as pl
+
+        K, vol, T_wc, gt, norm, W, H = _scene()
+        T_cw = se3.inverse(T_wc)
+        far = float(np.nanmedian(np.asarray(gt)))  # crop half the surface
+        want = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0,
+                                      0.1, far=far)
+        full = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0,
+                                      0.1)
+        assert not np.array_equal(np.asarray(want.weight),
+                                  np.asarray(full.weight)), \
+            "far crop chosen too loose to exercise the gate"
+
+        real_call = pl.pallas_call
+        jax.clear_caches()
+        monkeypatch.setenv("KANGAROO_PALLAS_FUSE", "1")
+        monkeypatch.setattr(backend, "on_tpu", lambda: True)
+        monkeypatch.setattr(
+            sp.pl, "pallas_call",
+            lambda *a, **k: real_call(*a, interpret=True, **k))
+        got = sep.sdf_fuse_separable(vol, gt, norm, T_cw, K, 0.15, 1000.0,
+                                     0.1, far=far)
+        np.testing.assert_array_equal(np.asarray(got.val),
+                                      np.asarray(want.val))
+        np.testing.assert_array_equal(np.asarray(got.weight),
+                                      np.asarray(want.weight))
+
     def test_enable_gate_passthrough(self, monkeypatch):
         from kangaroo_tpu import backend
         from kangaroo_tpu.fusion import separable_pallas as sp

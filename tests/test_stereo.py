@@ -219,3 +219,15 @@ class TestPipeline:
         valid = np.isfinite(inner)
         assert valid.mean() > 0.8
         assert np.abs(inner[valid] - shift).mean() < 0.5
+
+
+class TestReanchorRight:
+    def test_matches_gather_semantics(self, rng):
+        """aggR[d, y, x] = aggL[d, y, x + d] on the in-range lattice (the
+        wrapped lanes x + d >= W are rejected downstream by _xr_valid)."""
+        D, H, W = 8, 6, 12
+        agg = rng.random((D, H, W)).astype(np.float32)
+        got = np.asarray(cv.reanchor_right(jnp.asarray(agg)))
+        for d in range(D):
+            for x in range(W - d):
+                np.testing.assert_array_equal(got[d, :, x], agg[d, :, x + d])
