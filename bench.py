@@ -229,7 +229,7 @@ def bench_kf_frame(iters=8):
                          iters=iters)
 
 
-def bench_kf_sequence(iters=4, n_frames=8):
+def bench_kf_sequence(iters=4, n_frames=8, res=256, wh=(640, 480)):
     """Whole-sequence scan replay (apps.kinectfusion.make_sequence_runner):
     ms/frame of an 8-frame recorded sequence tracked+fused in ONE device
     dispatch at 256^3/VGA. The one-jit frame above plus a ~28 ms tunnel
@@ -242,13 +242,14 @@ def bench_kf_sequence(iters=4, n_frames=8):
     from kangaroo_tpu.apps import kinectfusion as kf
     from kangaroo_tpu.apps import synthetic
 
-    W, H = 640, 480
-    K = kt.Intrinsics.centered(550.0, W, H)
-    cfg = kf.KinectFusionConfig(w=W, h=H, vol_res=256, vol_extent=1.2,
-                                max_levels=4, its=(1, 0, 2, 3),
+    W, H = wh
+    K = kt.Intrinsics.centered(W * 0.86, W, H)
+    cfg = kf.KinectFusionConfig(w=W, h=H, vol_res=res, vol_extent=1.2,
+                                max_levels=4 if H >= 256 else 2,
+                                its=(1, 0, 2, 3) if H >= 256 else (1, 1),
                                 near=0.5, far=6.0)
     pipe = kf.KinectFusion(K, cfg)
-    scene = synthetic.sphere_scene(res=128)
+    scene = synthetic.sphere_scene(res=min(128, res))
     frames = list(synthetic.depth_sequence(n_frames + 1, K, W, H,
                                            scene=scene, step=0.01))
     T0, d0 = frames[0]

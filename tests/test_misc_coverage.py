@@ -125,3 +125,15 @@ class TestBenchPerfRegen:
         bench.update_perf_headline(310.0, cfgs, path=str(p))
         text2 = p.read_text()
         assert "300.0 fps" not in text2 and "310.0 fps" in text2
+
+
+class TestBenchSequenceConfig:
+    def test_bench_kf_sequence_runs_small(self):
+        """The sequence-replay bench config must execute end to end (it
+        feeds BENCH_r{N}.json; a crash there loses the whole artifact).
+        Small shapes on CPU; the driver runs the 256^3/VGA default."""
+        import bench
+
+        ms = bench.bench_kf_sequence(iters=2, n_frames=2, res=32,
+                                     wh=(64, 48))
+        assert np.isfinite(ms) and ms >= 0
