@@ -212,13 +212,22 @@ def icp_refine(kin_v, ray_v, ray_n, K: Intrinsics, cfg: KinectFusionConfig,
 
 
 def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
-                    trunc_dist: float):
+                    trunc_dist: float, mesh=None):
     """ONE jitted function for the whole frame (main.cpp:190-360): depth
     preprocess -> model raycast pyramid -> multi-level ICP -> gated pose
     update -> TSDF fuse. Requires the separable engine — its fuse/raycast
     have no big gathers, so XLA compiles the frame without the
     gather-rematerialisation pathology that made whole-frame jits 2.5x
     slower with the gather paths (docs/PERF.md).
+
+    ``mesh`` (a jax.sharding.Mesh) runs the frame model-parallel: the TSDF
+    volume shards along voxel z (parallel.sharding.shard_volume_z) and the
+    fuse/raycast run as their sharded variants (zero-comm fuse; raycast
+    with a one-plane halo + min-depth reduce), while the cheap image-space
+    work (bilateral, pyramid, ICP normal equations) computes replicated —
+    the volume is where the memory and FLOPs are. Requires
+    ``raycast_downsample`` (one full-res sweep; the per-level cloud
+    raycast has no sharded counterpart).
 
     Returns step(val, weight, T_wl, depth_raw, first, lo, hi) ->
     (val', weight', T_wl', rmse). ``first`` skips the pose gate (frame 0 or
@@ -227,6 +236,14 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
     does not retrigger compilation).
     """
     del bbox  # bbox now flows through as (lo, hi) arguments
+    if mesh is not None:
+        if cfg.engine != "separable" or not cfg.raycast_downsample:
+            raise ValueError(
+                "mesh-parallel frame step requires engine='separable' and "
+                "raycast_downsample=True (one sharded full-res sweep)")
+        if cfg.vol_res % mesh.devices.size != 0:
+            raise ValueError("vol_res must divide the mesh size")
+        from ..parallel import sharding as sh
     K_mats = tuple(
         np.asarray(K.level(l).matrix()) for l in range(cfg.max_levels)
     )
@@ -238,9 +255,14 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
         if cfg.engine == "separable" and cfg.raycast_downsample:
             # one full-resolution sweep; coarser ICP levels from NaN-aware
             # box downsampling of the raycast depth
-            d0, _, _ = separable.raycast_sdf_separable(
-                vol, T_wl, K, cfg.w, cfg.h, cfg.near, cfg.far,
-                trunc_dist=trunc_dist, shade=False)
+            if mesh is not None:
+                d0, _, _ = sh.sharded_raycast_separable(
+                    vol, T_wl, K, cfg.w, cfg.h, mesh, near=cfg.near,
+                    far=cfg.far, trunc_dist=trunc_dist)
+            else:
+                d0, _, _ = separable.raycast_sdf_separable(
+                    vol, T_wl, K, cfg.w, cfg.h, cfg.near, cfg.far,
+                    trunc_dist=trunc_dist, shade=False)
             # pin the sweep result: its depth pyramid has 6 consumers (vbo +
             # normals per ICP level) and XLA otherwise rematerialises parts
             # of the 256-plane sweep into them
@@ -269,19 +291,27 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
         T_lw = se3.inverse(T_new)
         # the tracking gate rides inside the fuse (zero updates -> exact
         # volume passthrough), saving two volume-sized selects here
-        fused = separable.sdf_fuse_separable(
-            vol, kin_v[0][..., 2], kin_n[0], T_lw, K, trunc_dist,
-            cfg.max_w, cfg.min_cos_theta, enable=good | first,
-            near=cfg.near if cfg.fuse_roi else None,
-            far=cfg.far if cfg.fuse_roi else None,
-        )
+        if mesh is not None:
+            fused = sh.sharded_sdf_fuse_separable(
+                vol, kin_v[0][..., 2], kin_n[0], T_lw, K, trunc_dist,
+                cfg.max_w, cfg.min_cos_theta, mesh, enable=good | first,
+                near=cfg.near if cfg.fuse_roi else None,
+                far=cfg.far if cfg.fuse_roi else None,
+            )
+        else:
+            fused = separable.sdf_fuse_separable(
+                vol, kin_v[0][..., 2], kin_n[0], T_lw, K, trunc_dist,
+                cfg.max_w, cfg.min_cos_theta, enable=good | first,
+                near=cfg.near if cfg.fuse_roi else None,
+                far=cfg.far if cfg.fuse_roi else None,
+            )
         return fused.val, fused.weight, T_new, rmse
 
     return step
 
 
 def make_sequence_runner(K: Intrinsics, cfg: KinectFusionConfig,
-                         trunc_dist: float):
+                         trunc_dist: float, mesh=None):
     """ONE jitted program for a whole recorded depth sequence:
     ``lax.scan`` of :func:`make_frame_step` over stacked frames.
 
@@ -295,7 +325,7 @@ def make_sequence_runner(K: Intrinsics, cfg: KinectFusionConfig,
     ``firsts`` (N,) bool (True skips the pose gate, i.e. frame 0),
     ``poses`` (N, 3, 4) and ``rmses`` (N,) per-frame diagnostics.
     """
-    step = make_frame_step(K, cfg, None, trunc_dist)
+    step = make_frame_step(K, cfg, None, trunc_dist, mesh=mesh)
 
     @jax.jit
     def run(val, weight, T_wl, depths, firsts, lo, hi):
@@ -315,9 +345,19 @@ def make_sequence_runner(K: Intrinsics, cfg: KinectFusionConfig,
 class KinectFusion:
     """Stateful driver matching the app's main loop."""
 
-    def __init__(self, K: Intrinsics, cfg: KinectFusionConfig = KinectFusionConfig()):
+    def __init__(self, K: Intrinsics, cfg: KinectFusionConfig = KinectFusionConfig(),
+                 mesh=None):
+        """``mesh`` runs the volume ops model-parallel over a
+        jax.sharding.Mesh (voxel-z sharded; see make_frame_step). Requires
+        the separable engine with raycast_downsample=True."""
         self.K = K
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None and (cfg.engine != "separable"
+                                 or not cfg.raycast_downsample):
+            raise ValueError(
+                "mesh-parallel KinectFusion requires engine='separable' "
+                "and raycast_downsample=True")
         if cfg.front_volume:
             e = cfg.vol_extent
             bb = BoundingBox.create((-e, -e, cfg.near), (e, e, cfg.near + 2 * e))
@@ -325,6 +365,10 @@ class KinectFusion:
             bb = BoundingBox.create((-cfg.vol_extent,) * 3, (cfg.vol_extent,) * 3)
         self.vol = TsdfVolume.create(cfg.vol_res, cfg.vol_res, cfg.vol_res, bb,
                                      trunc_dist=jnp.nan)  # SdfReset(NaN), main.cpp:224
+        if mesh is not None:
+            from ..parallel import sharding as _sh
+
+            self.vol = _sh.shard_volume_z(self.vol, mesh)
         self.color_vol = None
         if cfg.use_colour:
             # SdfReset(colorVol) fills 0.5 (cu_sdffusion.cu:166-169)
@@ -355,6 +399,10 @@ class KinectFusion:
         TSDF, SdfReset(colorVol) back to 0.5, identity pose."""
         cfg = self.cfg
         self.vol = self.vol.reset(jnp.nan)
+        if self.mesh is not None:
+            from ..parallel import sharding as _sh
+
+            self.vol = _sh.shard_volume_z(self.vol, self.mesh)
         if self.color_vol is not None:
             self.color_vol = BoundedVolume.create(
                 cfg.vol_res, cfg.vol_res, cfg.vol_res, self.color_vol.bbox,
@@ -369,7 +417,7 @@ class KinectFusion:
         rmse scalar crosses to the host (for the divergence gate)."""
         if self._step is None:
             self._step = make_frame_step(self.K, self.cfg, self.vol.bbox,
-                                         self.trunc_dist)
+                                         self.trunc_dist, mesh=self.mesh)
         first = jnp.asarray(self.frame == 0)
         lo, hi = self.vol.bbox.lo, self.vol.bbox.hi
         val, w, T_new, rmse = self._step(self.vol.val, self.vol.weight,
@@ -411,7 +459,8 @@ class KinectFusion:
         depths = jnp.asarray(depths)
         n = depths.shape[0]
         if self._seq_run is None:
-            self._seq_run = make_sequence_runner(self.K, cfg, self.trunc_dist)
+            self._seq_run = make_sequence_runner(self.K, cfg, self.trunc_dist,
+                                                 mesh=self.mesh)
         was_first = self.frame == 0
         firsts = (jnp.arange(n) == 0) & jnp.asarray(was_first)
         val, w, T_wl, poses, rmses = self._seq_run(

@@ -241,34 +241,45 @@ def sharded_raycast(vol: TsdfVolume, T_wc, K, w: int, h: int, mesh,
 
 
 def sharded_sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K,
-                               trunc_dist, max_w, mincostheta, mesh) -> TsdfVolume:
+                               trunc_dist, max_w, mincostheta, mesh,
+                               enable=None, near=None,
+                               far=None) -> TsdfVolume:
     """Plane-sweep TSDF fuse (fusion/separable.py) with the voxel z axis
     sharded: each chip runs the shear-scale-warp sweep over its own slab of
     planes (its sub-volume bbox makes the factorization self-consistent) —
-    still zero communication, now gather-free and MXU-bound per chip."""
+    still zero communication, now gather-free and MXU-bound per chip.
+
+    ``enable``/``near``/``far`` thread through to the single-device fuse
+    (the tracking gate and the knear/kfar ROI crop, needed by the sharded
+    frame step). The dynamic plane window evaluates the same per-plane
+    predicate on each shard's slab, so results match the single-device
+    fuse exactly."""
     from ..fusion import separable as sep
 
     D = vol.d
     n = mesh.devices.size
 
-    def local(val, weight, depth, normals, T_cw, lo, hi):
+    def local(val, weight, depth, normals, T_cw, en, lo, hi):
         shard = jax.lax.axis_index(AXIS)
         lo_s, hi_s = _slab_bbox_from(lo, hi, D, n, shard)
         from ..containers.bbox import BoundingBox
 
         sub = TsdfVolume(val, weight, BoundingBox(lo_s, hi_s))
         out = sep.sdf_fuse_separable(sub, depth, normals, T_cw, K, trunc_dist,
-                                     max_w, mincostheta, sweep_axis=0)
+                                     max_w, mincostheta, sweep_axis=0,
+                                     enable=en, near=near, far=far)
         return out.val, out.weight
 
     f = shard_map(
         local, mesh=mesh,
-        in_specs=(P(AXIS, None, None), P(AXIS, None, None), P(), P(), P(), P(), P()),
+        in_specs=(P(AXIS, None, None), P(AXIS, None, None), P(), P(), P(),
+                  P(), P(), P()),
         out_specs=(P(AXIS, None, None), P(AXIS, None, None)),
         check_vma=False,
     )
+    en = jnp.asarray(True if enable is None else enable)
     val, weight = f(vol.val, vol.weight, depth, normals, jnp.asarray(T_cw),
-                    vol.bbox.lo, vol.bbox.hi)
+                    en, vol.bbox.lo, vol.bbox.hi)
     return TsdfVolume(val, weight, vol.bbox)
 
 

@@ -338,3 +338,72 @@ class TestHaloStencil:
         f = sharding.sharded_stencil_rows(median_mod.median_filter_3x3, mesh, halo=1)
         got = np.asarray(f(img))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestShardedKinectFusionApp:
+    """The app-level mesh-parallel path (KinectFusion(mesh=...)): the one-jit
+    frame step with voxel-z-sharded fuse/raycast must track the synthetic
+    orbit like the single-device app."""
+
+    def test_mesh_parallel_app_tracks_orbit(self, mesh):
+        from kangaroo_tpu.apps import kinectfusion as kf
+
+        W, H = 64, 48
+        K = kt.Intrinsics.centered(55.0, W, H)
+        cfg = kf.KinectFusionConfig(
+            w=W, h=H, vol_res=48, vol_extent=1.2, max_levels=2, its=(2, 2),
+            near=0.5, far=6.0, max_rmse=0.3, bilateral_minval=0.2,
+            raycast_downsample=True,
+        )
+        scene = synthetic.sphere_scene(res=64)
+        frames = list(synthetic.depth_sequence(4, K, W, H, scene=scene,
+                                               step=0.015))
+        depths = [jnp.where(jnp.isfinite(d), d, 0.0) for _, d in frames]
+
+        single = kf.KinectFusion(K, cfg)
+        single.T_wl = frames[0][0]
+        for d in depths:
+            est_single = single.process_frame(d)
+
+        pipe = kf.KinectFusion(K, cfg, mesh=mesh)
+        pipe.T_wl = frames[0][0]
+        for d in depths:
+            est = pipe.process_frame(d)
+        assert pipe.tracking_good
+        # tracks the true pose (same gate as the single-device orbit test)
+        drift = np.abs(np.asarray(est) - np.asarray(frames[-1][0])).max()
+        assert drift < 0.06
+        # and lands near the single-device estimate (sharded raycast always
+        # sweeps z, the single-device auto-axis may differ -> small noise)
+        np.testing.assert_allclose(np.asarray(est), np.asarray(est_single),
+                                   atol=0.02)
+        assert float(pipe.vol.weight.max()) > 0
+
+    def test_mesh_parallel_run_sequence(self, mesh):
+        from kangaroo_tpu.apps import kinectfusion as kf
+
+        W, H = 64, 48
+        K = kt.Intrinsics.centered(55.0, W, H)
+        cfg = kf.KinectFusionConfig(
+            w=W, h=H, vol_res=48, vol_extent=1.2, max_levels=2, its=(2, 2),
+            near=0.5, far=6.0, max_rmse=0.3, bilateral_minval=0.2,
+            raycast_downsample=True,
+        )
+        scene = synthetic.sphere_scene(res=64)
+        frames = list(synthetic.depth_sequence(3, K, W, H, scene=scene,
+                                               step=0.015))
+        pipe = kf.KinectFusion(K, cfg, mesh=mesh)
+        pipe.T_wl = frames[0][0]
+        poses, rmses = pipe.run_sequence(jnp.stack(
+            [jnp.where(jnp.isfinite(d), d, 0.0) for _, d in frames]))
+        assert pipe.tracking_good
+        drift = np.abs(np.asarray(poses[-1]) - np.asarray(frames[-1][0])).max()
+        assert drift < 0.06
+
+    def test_mesh_requires_one_sweep_path(self, mesh):
+        from kangaroo_tpu.apps import kinectfusion as kf
+
+        K = kt.Intrinsics.centered(55.0, 64, 48)
+        with pytest.raises(ValueError):
+            kf.KinectFusion(K, kf.KinectFusionConfig(
+                w=64, h=48, vol_res=48, raycast_downsample=False), mesh=mesh)
