@@ -227,7 +227,10 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
     work (bilateral, pyramid, ICP normal equations) computes replicated —
     the volume is where the memory and FLOPs are. Requires
     ``raycast_downsample`` (one full-res sweep; the per-level cloud
-    raycast has no sharded counterpart).
+    raycast has no sharded counterpart). Note the sharded raycast must
+    sweep the sharded z axis, so poses viewing nearly perpendicular to z
+    lose the single-device auto-axis fallback (sharding.py
+    sharded_raycast_separable docstring).
 
     Returns step(val, weight, T_wl, depth_raw, first, lo, hi) ->
     (val', weight', T_wl', rmse). ``first`` skips the pose gate (frame 0 or

@@ -407,3 +407,33 @@ class TestShardedKinectFusionApp:
         with pytest.raises(ValueError):
             kf.KinectFusion(K, kf.KinectFusionConfig(
                 w=64, h=48, vol_res=48, raycast_downsample=False), mesh=mesh)
+
+
+@pytest.mark.slow
+class TestProductionScaleApp:
+    """The packaged mesh-parallel app at the reference's working config
+    (256^3 TSDF, VGA depth): one tracked+fused frame end to end over the
+    8-device mesh — the app-level composition (preprocess + sharded
+    raycast + ICP + gated sharded fuse in ONE jit) can hide
+    layout/sharding bugs the per-op equality tests miss."""
+
+    def test_kinectfusion_frame_256_vga(self, mesh):
+        from kangaroo_tpu.apps import kinectfusion as kf
+
+        W, H = 640, 480
+        K = kt.Intrinsics.centered(550.0, W, H)
+        cfg = kf.KinectFusionConfig(
+            w=W, h=H, vol_res=256, vol_extent=1.2, max_levels=4,
+            its=(1, 0, 2, 3), near=0.5, far=6.0, raycast_downsample=True,
+        )
+        scene = synthetic.sphere_scene(res=128)
+        frames = list(synthetic.depth_sequence(2, K, W, H, scene=scene,
+                                               step=0.01))
+        pipe = kf.KinectFusion(K, cfg, mesh=mesh)
+        pipe.T_wl = frames[0][0]
+        for T_wc, d in frames:
+            est = pipe.process_frame(jnp.where(jnp.isfinite(d), d, 0.0))
+        assert pipe.tracking_good
+        drift = np.abs(np.asarray(est) - np.asarray(frames[-1][0])).max()
+        assert drift < 0.06
+        assert float(pipe.vol.weight.max()) > 0
