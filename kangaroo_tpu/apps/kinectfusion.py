@@ -237,6 +237,11 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
     the re-seed after a reset fuses unconditionally at the current pose);
     (lo, hi) is the volume bbox (an argument so the moving-workspace roll
     does not retrigger compilation).
+
+    With ``cfg.use_colour`` the step fuses the colour volume in the same
+    jit (main.cpp:355 fuses colour in the frame loop too):
+    step(val, weight, cval, T_wl, depth_raw, rgb, first, lo, hi) ->
+    (val', weight', cval', T_wl', rmse). Not supported with ``mesh``.
     """
     del bbox  # bbox now flows through as (lo, hi) arguments
     if mesh is not None:
@@ -246,13 +251,22 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
                 "raycast_downsample=True (one sharded full-res sweep)")
         if cfg.vol_res % mesh.devices.size != 0:
             raise ValueError("vol_res must divide the mesh size")
+        if cfg.use_colour:
+            raise ValueError(
+                "mesh-parallel frame step does not support colour fusion")
         from ..parallel import sharding as sh
     K_mats = tuple(
         np.asarray(K.level(l).matrix()) for l in range(cfg.max_levels)
     )
+    if cfg.use_colour:
+        # camera (rgb) to depth: T_cd = SE3(I, (baseline, 0, 0))^-1
+        # (main.cpp:100-102); T_iw = T_cd * T_wl^-1 (main.cpp:355)
+        T_cd = jnp.asarray(
+            se3.inverse(se3.make(np.eye(3), [cfg.rgb_baseline_m, 0.0, 0.0])))
+        K_rgb = Intrinsics.centered(cfg.rgb_focal, cfg.w, cfg.h)
 
-    @jax.jit
-    def step(val, weight, T_wl, depth_raw, first, lo, hi):
+    def _body(val, weight, T_wl, depth_raw, first, lo, hi,
+              cval=None, rgb=None):
         _, kin_v, kin_n = preprocess_depth(depth_raw, K, cfg)
         vol = TsdfVolume(val, weight, BoundingBox(lo, hi))
         if cfg.engine == "separable" and cfg.raycast_downsample:
@@ -294,6 +308,16 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
         T_lw = se3.inverse(T_new)
         # the tracking gate rides inside the fuse (zero updates -> exact
         # volume passthrough), saving two volume-sized selects here
+        if cfg.use_colour:
+            fusedv, fusedc = separable.sdf_fuse_color_separable(
+                vol, BoundedVolume(cval, BoundingBox(lo, hi)),
+                kin_v[0][..., 2], kin_n[0], T_lw, K, rgb,
+                se3.compose(T_cd, T_lw), K_rgb, trunc_dist,
+                cfg.max_w, cfg.min_cos_theta, enable=good | first,
+                near=cfg.near if cfg.fuse_roi else None,
+                far=cfg.far if cfg.fuse_roi else None,
+            )
+            return fusedv.val, fusedv.weight, fusedc.data, T_new, rmse
         if mesh is not None:
             fused = sh.sharded_sdf_fuse_separable(
                 vol, kin_v[0][..., 2], kin_n[0], T_lw, K, trunc_dist,
@@ -309,6 +333,16 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
                 far=cfg.far if cfg.fuse_roi else None,
             )
         return fused.val, fused.weight, T_new, rmse
+
+    if cfg.use_colour:
+        @jax.jit
+        def step(val, weight, cval, T_wl, depth_raw, rgb, first, lo, hi):
+            return _body(val, weight, T_wl, depth_raw, first, lo, hi,
+                         cval=cval, rgb=rgb)
+    else:
+        @jax.jit
+        def step(val, weight, T_wl, depth_raw, first, lo, hi):
+            return _body(val, weight, T_wl, depth_raw, first, lo, hi)
 
     return step
 
@@ -326,9 +360,27 @@ def make_sequence_runner(K: Intrinsics, cfg: KinectFusionConfig,
     ``run(val, weight, T_wl, depths, firsts, lo, hi) ->
     (val', weight', T_wl', poses, rmses)`` with ``depths`` (N, H, W),
     ``firsts`` (N,) bool (True skips the pose gate, i.e. frame 0),
-    ``poses`` (N, 3, 4) and ``rmses`` (N,) per-frame diagnostics.
+    ``poses`` (N, 3, 4) and ``rmses`` (N,) per-frame diagnostics. With
+    ``cfg.use_colour`` the runner also scans the colour volume and a
+    stacked ``rgbs`` (N, H, W, 3):
+    ``run(val, weight, cval, T_wl, depths, rgbs, firsts, lo, hi)``.
     """
     step = make_frame_step(K, cfg, None, trunc_dist, mesh=mesh)
+
+    if cfg.use_colour:
+        @jax.jit
+        def run(val, weight, cval, T_wl, depths, rgbs, firsts, lo, hi):
+            def body(carry, x):
+                v, w, c, T = carry
+                depth, rgb, first = x
+                v, w, c, T, rmse = step(v, w, c, T, depth, rgb, first, lo, hi)
+                return (v, w, c, T), (T, rmse)
+
+            (val, weight, cval, T_wl), (poses, rmses) = jax.lax.scan(
+                body, (val, weight, cval, T_wl), (depths, rgbs, firsts))
+            return val, weight, cval, T_wl, poses, rmses
+
+        return run
 
     @jax.jit
     def run(val, weight, T_wl, depths, firsts, lo, hi):
@@ -415,33 +467,44 @@ class KinectFusion:
         self.frame = 0
         self.tracking_good = True
 
-    def _one_jit_frame(self, depth_raw):
+    def _one_jit_frame(self, depth_raw, rgb=None):
         """Whole-frame path: one compiled computation per frame; only the
-        rmse scalar crosses to the host (for the divergence gate)."""
+        rmse scalar crosses to the host (for the divergence gate). With
+        ``cfg.use_colour`` the colour volume fuses in the same jit."""
+        colour = self.cfg.use_colour
         if self._step is None:
             self._step = make_frame_step(self.K, self.cfg, self.vol.bbox,
                                          self.trunc_dist, mesh=self.mesh)
         first = jnp.asarray(self.frame == 0)
         lo, hi = self.vol.bbox.lo, self.vol.bbox.hi
-        val, w, T_new, rmse = self._step(self.vol.val, self.vol.weight,
-                                         self.T_wl, depth_raw, first, lo, hi)
+
+        def call(first, lo, hi):
+            if colour:
+                return self._step(self.vol.val, self.vol.weight,
+                                  self.color_vol.data, self.T_wl, depth_raw,
+                                  rgb, first, lo, hi)
+            out = self._step(self.vol.val, self.vol.weight, self.T_wl,
+                             depth_raw, first, lo, hi)
+            return out[:2] + (None,) + out[2:]
+
+        val, w, cval, T_new, rmse = call(first, lo, hi)
         self.rmse = float(rmse) if self.frame > 0 else 0.0
         if self.frame > 0 and not np.isfinite(self.rmse):
             # divergence: reset and re-seed from the current frame
             # (main.cpp:224-241), same recipe as the staged path
             self.reset()
-            val, w, T_new, _ = self._step(self.vol.val, self.vol.weight,
-                                          self.T_wl, depth_raw,
-                                          jnp.asarray(True),
+            val, w, cval, T_new, _ = call(jnp.asarray(True),
                                           self.vol.bbox.lo, self.vol.bbox.hi)
         else:
             self.tracking_good = self.frame == 0 or self.rmse < self.cfg.max_rmse
         self.vol = TsdfVolume(val, w, self.vol.bbox)
+        if colour:
+            self.color_vol = BoundedVolume(cval, self.color_vol.bbox)
         self.T_wl = T_new
         self.frame += 1
         return self.T_wl
 
-    def run_sequence(self, depths):
+    def run_sequence(self, depths, rgbs=None):
         """Process a stacked ``(N, H, W)`` recorded depth sequence in ONE
         device dispatch (:func:`make_sequence_runner`); returns per-frame
         ``(poses (N, 3, 4), rmses (N,))`` and leaves the driver state at
@@ -451,14 +514,16 @@ class KinectFusion:
         pose update and the fuse per frame (inside the step), but the
         HOST-side divergence auto-reset and the moving-workspace roll
         cannot fire mid-scan — callers inspect ``rmses`` to detect
-        divergence and resume with :meth:`reset`. Depth-only (colour
-        fusion stays a host-loop feature). Requires the separable engine's
-        one-jit frame step.
+        divergence and resume with :meth:`reset`. With ``cfg.use_colour``
+        pass stacked ``rgbs`` (N, H, W, 3) and the colour volume scans
+        along. Requires the separable engine's one-jit frame step.
         """
         cfg = self.cfg
         if cfg.engine != "separable":
             raise ValueError("run_sequence requires the separable engine's "
                              "one-jit frame step")
+        if cfg.use_colour and rgbs is None:
+            raise ValueError("use_colour requires stacked rgbs")
         depths = jnp.asarray(depths)
         n = depths.shape[0]
         if self._seq_run is None:
@@ -466,9 +531,16 @@ class KinectFusion:
                                                  mesh=self.mesh)
         was_first = self.frame == 0
         firsts = (jnp.arange(n) == 0) & jnp.asarray(was_first)
-        val, w, T_wl, poses, rmses = self._seq_run(
-            self.vol.val, self.vol.weight, self.T_wl, depths, firsts,
-            self.vol.bbox.lo, self.vol.bbox.hi)
+        if cfg.use_colour:
+            val, w, cval, T_wl, poses, rmses = self._seq_run(
+                self.vol.val, self.vol.weight, self.color_vol.data,
+                self.T_wl, depths, jnp.asarray(rgbs), firsts,
+                self.vol.bbox.lo, self.vol.bbox.hi)
+            self.color_vol = BoundedVolume(cval, self.color_vol.bbox)
+        else:
+            val, w, T_wl, poses, rmses = self._seq_run(
+                self.vol.val, self.vol.weight, self.T_wl, depths, firsts,
+                self.vol.bbox.lo, self.vol.bbox.hi)
         self.vol = TsdfVolume(val, w, self.vol.bbox)
         self.T_wl = T_wl
         self.frame += n
@@ -503,8 +575,10 @@ class KinectFusion:
         cfg = self.cfg
         self._maybe_roll()
         if (cfg.engine == "separable" and fuse and pose_refinement
-                and rgb is None and not cfg.use_colour):
-            return self._one_jit_frame(depth_raw)
+                and (rgb is None) == (not cfg.use_colour)):
+            # one-jit path: depth-only, or colour with an rgb frame (the
+            # colour volume fuses inside the same jit)
+            return self._one_jit_frame(depth_raw, rgb=rgb)
         _, kin_v, kin_n = preprocess_depth(depth_raw, self.K, cfg)
 
         if pose_refinement and self.frame > 0:
@@ -539,6 +613,8 @@ class KinectFusion:
                         self.vol, self.color_vol, kin_v[0][..., 2], kin_n[0],
                         T_lw, self.K, rgb, T_iw, self.K_rgb, self.trunc_dist,
                         cfg.max_w, cfg.min_cos_theta,
+                        near=cfg.near if cfg.fuse_roi else None,
+                        far=cfg.far if cfg.fuse_roi else None,
                     )
                 else:
                     self.vol, self.color_vol = sdf_mod.sdf_fuse_color(

@@ -633,20 +633,23 @@ def sdf_fuse_color_separable(vol: TsdfVolume, color_vol, depth, normals,
                              grid_h: int | None = None,
                              warp: str = "nearest",
                              sweep_axis: int | str = "auto",
-                             clip_planes: bool = True):
+                             enable=None, clip_planes: bool = True,
+                             near=None, far=None):
     """Colour-fusing SdfFuse (cu_sdffusion.cu:70-138) on the plane-sweep
     engine: the colour camera gets its own shear-scale-warp factorization
     over the same voxel planes, so the grey sample is two more banded
     matmuls per plane instead of a per-voxel gather. ``color_vol`` is a
     BoundedVolume of grey in [0,1]; img is (Hc, Wc, 3). Returns
-    (TsdfVolume, BoundedVolume)."""
+    (TsdfVolume, BoundedVolume). ``enable``/``near``/``far`` behave as in
+    :func:`sdf_fuse_separable` (one update mask gates both volumes)."""
     from ..containers.volume import BoundedVolume
 
     def run(a):
         out = _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist,
                              max_w, mincostheta, grid_w, grid_h, warp, a,
                              color=color_vol.data, img=img, T_iw=T_iw,
-                             K_img=K_img, clip_planes=clip_planes)
+                             K_img=K_img, enable=enable,
+                             clip_planes=clip_planes, near=near, far=far)
         v, col = out
         return v, BoundedVolume(col, color_vol.bbox)
 

@@ -145,6 +145,64 @@ class TestKinectFusionApp:
         np.testing.assert_allclose(np.asarray(poses2[-1]),
                                    np.asarray(poses[-1]), atol=0.05)
 
+    def test_colour_one_jit_frame_tracks_and_fuses(self):
+        """With use_colour and an rgb frame, process_frame takes the one-jit
+        path (colour volume fused in the same jit as tracking, like
+        main.cpp:355 fusing colour inside the frame loop)."""
+        W, H = 64, 48
+        K = kt.Intrinsics.centered(55.0, W, H)
+        cfg = kf.KinectFusionConfig(
+            w=W, h=H, vol_res=48, vol_extent=1.2, max_levels=2, its=(2, 2),
+            near=0.5, far=6.0, max_rmse=0.3, bilateral_minval=0.2,
+            use_colour=True, rgb_focal=55.0, rgb_baseline_m=0.0,
+        )
+        pipe = kf.KinectFusion(K, cfg)
+        scene = synthetic.sphere_scene(res=64)
+        rgb = jnp.full((H, W, 3), 180.0)
+        frames = list(synthetic.depth_sequence(4, K, W, H, scene=scene,
+                                               step=0.015))
+        pipe.T_wl = frames[0][0]
+        for T_wc, depth in frames:
+            est = pipe.process_frame(jnp.where(jnp.isfinite(depth), depth, 0.0),
+                                     rgb=rgb)
+        assert pipe.tracking_good
+        drift = np.abs(np.asarray(est) - np.asarray(frames[-1][0])).max()
+        assert drift < 0.06
+        fused = np.asarray(pipe.color_vol.data)
+        touched = np.asarray(pipe.vol.weight) > 0
+        assert touched.any()
+        assert abs(np.median(fused[touched]) - 180.0 / 255.0) < 0.2
+
+    def test_colour_run_sequence_matches_per_frame(self):
+        """The colour sequence replay scans (depth, rgb) pairs and matches
+        the per-frame one-jit colour loop."""
+        W, H = 64, 48
+        K = kt.Intrinsics.centered(55.0, W, H)
+        mk = lambda: kf.KinectFusion(K, kf.KinectFusionConfig(
+            w=W, h=H, vol_res=48, vol_extent=1.2, max_levels=2, its=(2, 2),
+            near=0.5, far=6.0, max_rmse=0.3, bilateral_minval=0.2,
+            use_colour=True, rgb_focal=55.0, rgb_baseline_m=0.0,
+        ))
+        scene = synthetic.sphere_scene(res=64)
+        rgb = jnp.full((H, W, 3), 140.0)
+        frames = list(synthetic.depth_sequence(3, K, W, H, scene=scene,
+                                               step=0.015))
+        depths = [jnp.where(jnp.isfinite(d), d, 0.0) for _, d in frames]
+
+        loop = mk()
+        loop.T_wl = frames[0][0]
+        for d in depths:
+            est_loop = loop.process_frame(d, rgb=rgb)
+
+        seq = mk()
+        seq.T_wl = frames[0][0]
+        poses, rmses = seq.run_sequence(
+            jnp.stack(depths), rgbs=jnp.stack([rgb] * len(depths)))
+        np.testing.assert_allclose(np.asarray(poses[-1]),
+                                   np.asarray(est_loop), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(seq.color_vol.data),
+                                   np.asarray(loop.color_vol.data), atol=1e-3)
+
     def test_divergence_resets_and_refuses_current_frame(self):
         """A frame with zero valid ICP correspondences yields a non-finite
         rmse (sqrt(0/0)); the app must reset AND fuse the current frame into
