@@ -33,6 +33,9 @@ def main():
                     help="replay the synthetic sequence in ONE device "
                          "dispatch (lax.scan of the frame step) instead of "
                          "the per-frame host loop")
+    ap.add_argument("--colour", action="store_true",
+                    help="fuse a colour volume in the same jit as tracking "
+                         "(synthetic shaded-grey frames) and render from it")
     args = ap.parse_args()
 
     import kangaroo_tpu as kt
@@ -45,8 +48,16 @@ def main():
         w=args.width, h=args.height, vol_res=args.volres, vol_extent=1.2,
         max_levels=args.levels, its=(2,) * args.levels, near=0.5, far=6.0,
         max_rmse=0.3, front_volume=bool(args.input),
+        use_colour=args.colour, rgb_focal=args.width * 0.9,
+        rgb_baseline_m=0.0,
     )
     pipe = kf.KinectFusion(K, cfg)
+
+    def shaded_rgb(depth):
+        # synthetic colour: depth-shaded grey (nearer = brighter)
+        g = jnp.clip(255.0 * (1.0 - (depth - 2.0) / 2.0), 0.0, 255.0)
+        g = jnp.where(jnp.isfinite(depth) & (depth > 0), g, 0.0)
+        return jnp.stack([g, g, g], axis=-1)
 
     errs = [0.0]
     if args.input:
@@ -68,7 +79,9 @@ def main():
         if args.sequence:
             depths = jnp.stack([jnp.where(jnp.isfinite(d), d, 0.0)
                                 for _, d in frames])
-            poses, rmses = pipe.run_sequence(depths)
+            rgbs = (jnp.stack([shaded_rgb(d) for d in depths])
+                    if args.colour else None)
+            poses, rmses = pipe.run_sequence(depths, rgbs=rgbs)
             for i, (T_wc, _) in enumerate(frames):
                 err = float(jnp.abs(poses[i] - T_wc).max())
                 errs.append(err)
@@ -78,14 +91,15 @@ def main():
         else:
             for i, (T_wc, depth) in enumerate(frames):
                 depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
-                est = pipe.process_frame(depth)
+                est = pipe.process_frame(
+                    depth, rgb=shaded_rgb(depth) if args.colour else None)
                 err = float(jnp.abs(est - T_wc).max())
                 errs.append(err)
                 print(f"frame {i}: rmse {pipe.rmse:.4f} "
                       f"tracking_good={pipe.tracking_good} "
                       f"pose err {err:.4f}")
 
-    d, n, img = pipe.render()
+    d, n, img = pipe.render(show_colour=args.colour)
     _common.save_png(f"{out}/kf_render.png", img)
     _common.save_png(f"{out}/kf_depth.png", jnp.where(jnp.isfinite(d), d, 0.0))
     tris = pipe.save_mesh(f"{out}/kf_mesh.ply")
