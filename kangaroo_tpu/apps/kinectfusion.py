@@ -241,7 +241,8 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
     With ``cfg.use_colour`` the step fuses the colour volume in the same
     jit (main.cpp:355 fuses colour in the frame loop too):
     step(val, weight, cval, T_wl, depth_raw, rgb, first, lo, hi) ->
-    (val', weight', cval', T_wl', rmse). Not supported with ``mesh``.
+    (val', weight', cval', T_wl', rmse). Composes with ``mesh`` (both
+    volumes z-sharded, zero-comm colour fuse).
     """
     del bbox  # bbox now flows through as (lo, hi) arguments
     if mesh is not None:
@@ -251,9 +252,6 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
                 "raycast_downsample=True (one sharded full-res sweep)")
         if cfg.vol_res % mesh.devices.size != 0:
             raise ValueError("vol_res must divide the mesh size")
-        if cfg.use_colour:
-            raise ValueError(
-                "mesh-parallel frame step does not support colour fusion")
         from ..parallel import sharding as sh
     K_mats = tuple(
         np.asarray(K.level(l).matrix()) for l in range(cfg.max_levels)
@@ -309,14 +307,23 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
         # the tracking gate rides inside the fuse (zero updates -> exact
         # volume passthrough), saving two volume-sized selects here
         if cfg.use_colour:
-            fusedv, fusedc = separable.sdf_fuse_color_separable(
-                vol, BoundedVolume(cval, BoundingBox(lo, hi)),
-                kin_v[0][..., 2], kin_n[0], T_lw, K, rgb,
-                se3.compose(T_cd, T_lw), K_rgb, trunc_dist,
-                cfg.max_w, cfg.min_cos_theta, enable=good | first,
-                near=cfg.near if cfg.fuse_roi else None,
-                far=cfg.far if cfg.fuse_roi else None,
-            )
+            cvol = BoundedVolume(cval, BoundingBox(lo, hi))
+            if mesh is not None:
+                fusedv, fusedc = sh.sharded_sdf_fuse_color_separable(
+                    vol, cvol, kin_v[0][..., 2], kin_n[0], T_lw, K, rgb,
+                    se3.compose(T_cd, T_lw), K_rgb, trunc_dist,
+                    cfg.max_w, cfg.min_cos_theta, mesh, enable=good | first,
+                    near=cfg.near if cfg.fuse_roi else None,
+                    far=cfg.far if cfg.fuse_roi else None,
+                )
+            else:
+                fusedv, fusedc = separable.sdf_fuse_color_separable(
+                    vol, cvol, kin_v[0][..., 2], kin_n[0], T_lw, K, rgb,
+                    se3.compose(T_cd, T_lw), K_rgb, trunc_dist,
+                    cfg.max_w, cfg.min_cos_theta, enable=good | first,
+                    near=cfg.near if cfg.fuse_roi else None,
+                    far=cfg.far if cfg.fuse_roi else None,
+                )
             return fusedv.val, fusedv.weight, fusedc.data, T_new, rmse
         if mesh is not None:
             fused = sh.sharded_sdf_fuse_separable(
@@ -430,6 +437,11 @@ class KinectFusion:
             self.color_vol = BoundedVolume.create(
                 cfg.vol_res, cfg.vol_res, cfg.vol_res, bb, fill=0.5
             )
+            if mesh is not None:
+                from ..parallel import sharding as _sh
+
+                self.color_vol = _sh.shard_bounded_volume_z(self.color_vol,
+                                                            mesh)
             # camera (rgb) to depth: T_cd = SE3(I, (baseline, 0, 0))^-1
             # (main.cpp:100-102)
             self.T_cd = jnp.asarray(
@@ -463,6 +475,11 @@ class KinectFusion:
                 cfg.vol_res, cfg.vol_res, cfg.vol_res, self.color_vol.bbox,
                 fill=0.5,
             )
+            if self.mesh is not None:
+                from ..parallel import sharding as _sh
+
+                self.color_vol = _sh.shard_bounded_volume_z(self.color_vol,
+                                                            self.mesh)
         self.T_wl = jnp.asarray(se3.identity() if T_wl is None else T_wl)
         self.frame = 0
         self.tracking_good = True

@@ -146,6 +146,14 @@ def shard_volume_z(vol: TsdfVolume, mesh) -> TsdfVolume:
     )
 
 
+def shard_bounded_volume_z(bv, mesh):
+    """Place a BoundedVolume (e.g. the colour volume) z-sharded to match."""
+    from ..containers.volume import BoundedVolume
+
+    sh = NamedSharding(mesh, P(AXIS, None, None))
+    return BoundedVolume(jax.device_put(bv.data, sh), bv.bbox)
+
+
 def sharded_sdf_fuse(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
                      max_w, mincostheta, mesh) -> TsdfVolume:
     """TSDF fuse with the voxel z axis sharded: zero communication — each
@@ -281,6 +289,50 @@ def sharded_sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K,
     val, weight = f(vol.val, vol.weight, depth, normals, jnp.asarray(T_cw),
                     en, vol.bbox.lo, vol.bbox.hi)
     return TsdfVolume(val, weight, vol.bbox)
+
+
+def sharded_sdf_fuse_color_separable(vol: TsdfVolume, color_vol, depth,
+                                     normals, T_cw, K, img, T_iw, K_img,
+                                     trunc_dist, max_w, mincostheta, mesh,
+                                     enable=None, near=None, far=None):
+    """Colour-fusing plane-sweep fuse (fusion/separable.py
+    sdf_fuse_color_separable, cu_sdffusion.cu:70-138) with BOTH volumes
+    voxel-z sharded: each chip sweeps its slab for the TSDF and the colour
+    camera's factorization alike — still zero communication (the image
+    operands are replicated; the update masks are slab-local). Returns
+    (TsdfVolume, BoundedVolume) like the single-device op."""
+    from ..containers.volume import BoundedVolume
+    from ..fusion import separable as sep
+
+    D = vol.d
+    n = mesh.devices.size
+
+    def local(val, weight, cdata, depth, normals, T_cw, img, T_iw, en,
+              lo, hi):
+        shard = jax.lax.axis_index(AXIS)
+        lo_s, hi_s = _slab_bbox_from(lo, hi, D, n, shard)
+        from ..containers.bbox import BoundingBox
+
+        sub = TsdfVolume(val, weight, BoundingBox(lo_s, hi_s))
+        csub = BoundedVolume(cdata, BoundingBox(lo_s, hi_s))
+        outv, outc = sep.sdf_fuse_color_separable(
+            sub, csub, depth, normals, T_cw, K, img, T_iw, K_img,
+            trunc_dist, max_w, mincostheta, sweep_axis=0, enable=en,
+            near=near, far=far)
+        return outv.val, outv.weight, outc.data
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS, None, None),) * 3 + (P(),) * 8,
+        out_specs=(P(AXIS, None, None),) * 3,
+        check_vma=False,
+    )
+    en = jnp.asarray(True if enable is None else enable)
+    val, weight, cdata = f(vol.val, vol.weight, color_vol.data, depth,
+                           normals, jnp.asarray(T_cw), img,
+                           jnp.asarray(T_iw), en, vol.bbox.lo, vol.bbox.hi)
+    return (TsdfVolume(val, weight, vol.bbox),
+            BoundedVolume(cdata, color_vol.bbox))
 
 
 def sharded_raycast_separable(vol: TsdfVolume, T_wc, K, w: int, h: int, mesh,
