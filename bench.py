@@ -243,7 +243,9 @@ def bench_kf_sequence(iters=4, n_frames=8, res=256, wh=(640, 480)):
     from kangaroo_tpu.apps import synthetic
 
     W, H = wh
-    K = kt.Intrinsics.centered(W * 0.86, W, H)
+    # focal scales from the bench_kf_frame config (550.0 at VGA) so the
+    # default shapes reproduce the recorded working config exactly
+    K = kt.Intrinsics.centered(550.0 * W / 640.0, W, H)
     cfg = kf.KinectFusionConfig(w=W, h=H, vol_res=res, vol_extent=1.2,
                                 max_levels=4 if H >= 256 else 2,
                                 its=(1, 0, 2, 3) if H >= 256 else (1, 1),

@@ -37,6 +37,9 @@ def main():
                     help="fuse a colour volume in the same jit as tracking "
                          "(synthetic shaded-grey frames) and render from it")
     args = ap.parse_args()
+    if args.colour and args.input:
+        ap.error("--colour requires the synthetic sequence (the PGM input "
+                 "path carries no rgb stream)")
 
     import kangaroo_tpu as kt
     from kangaroo_tpu.apps import kinectfusion as kf

@@ -211,6 +211,15 @@ def icp_refine(kin_v, ray_v, ray_n, K: Intrinsics, cfg: KinectFusionConfig,
     return T_lp, rmse
 
 
+def _colour_camera(cfg: KinectFusionConfig):
+    """(T_cd, K_rgb): rgb-camera-from-depth transform and intrinsics.
+    T_cd = SE3(I, (baseline, 0, 0))^-1 (main.cpp:100-102); the colour fuse
+    projects through T_iw = T_cd * T_wl^-1 (main.cpp:355)."""
+    T_cd = jnp.asarray(
+        se3.inverse(se3.make(np.eye(3), [cfg.rgb_baseline_m, 0.0, 0.0])))
+    return T_cd, Intrinsics.centered(cfg.rgb_focal, cfg.w, cfg.h)
+
+
 def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
                     trunc_dist: float, mesh=None):
     """ONE jitted function for the whole frame (main.cpp:190-360): depth
@@ -251,17 +260,13 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
                 "mesh-parallel frame step requires engine='separable' and "
                 "raycast_downsample=True (one sharded full-res sweep)")
         if cfg.vol_res % mesh.devices.size != 0:
-            raise ValueError("vol_res must divide the mesh size")
+            raise ValueError("the mesh size must divide vol_res")
         from ..parallel import sharding as sh
     K_mats = tuple(
         np.asarray(K.level(l).matrix()) for l in range(cfg.max_levels)
     )
     if cfg.use_colour:
-        # camera (rgb) to depth: T_cd = SE3(I, (baseline, 0, 0))^-1
-        # (main.cpp:100-102); T_iw = T_cd * T_wl^-1 (main.cpp:355)
-        T_cd = jnp.asarray(
-            se3.inverse(se3.make(np.eye(3), [cfg.rgb_baseline_m, 0.0, 0.0])))
-        K_rgb = Intrinsics.centered(cfg.rgb_focal, cfg.w, cfg.h)
+        T_cd, K_rgb = _colour_camera(cfg)
 
     def _body(val, weight, T_wl, depth_raw, first, lo, hi,
               cval=None, rgb=None):
@@ -415,45 +420,47 @@ class KinectFusion:
         self.K = K
         self.cfg = cfg
         self.mesh = mesh
-        if mesh is not None and (cfg.engine != "separable"
-                                 or not cfg.raycast_downsample):
-            raise ValueError(
-                "mesh-parallel KinectFusion requires engine='separable' "
-                "and raycast_downsample=True")
+        if mesh is not None:
+            if cfg.engine != "separable" or not cfg.raycast_downsample:
+                raise ValueError(
+                    "mesh-parallel KinectFusion requires engine='separable' "
+                    "and raycast_downsample=True")
+            if cfg.vol_res % mesh.devices.size != 0:
+                raise ValueError("the mesh size must divide vol_res")
         if cfg.front_volume:
             e = cfg.vol_extent
             bb = BoundingBox.create((-e, -e, cfg.near), (e, e, cfg.near + 2 * e))
         else:
             bb = BoundingBox.create((-cfg.vol_extent,) * 3, (cfg.vol_extent,) * 3)
-        self.vol = TsdfVolume.create(cfg.vol_res, cfg.vol_res, cfg.vol_res, bb,
-                                     trunc_dist=jnp.nan)  # SdfReset(NaN), main.cpp:224
-        if mesh is not None:
-            from ..parallel import sharding as _sh
-
-            self.vol = _sh.shard_volume_z(self.vol, mesh)
-        self.color_vol = None
+        self.vol, self.color_vol = self._fresh_volumes(bb)
         if cfg.use_colour:
-            # SdfReset(colorVol) fills 0.5 (cu_sdffusion.cu:166-169)
-            self.color_vol = BoundedVolume.create(
-                cfg.vol_res, cfg.vol_res, cfg.vol_res, bb, fill=0.5
-            )
-            if mesh is not None:
-                from ..parallel import sharding as _sh
-
-                self.color_vol = _sh.shard_bounded_volume_z(self.color_vol,
-                                                            mesh)
-            # camera (rgb) to depth: T_cd = SE3(I, (baseline, 0, 0))^-1
-            # (main.cpp:100-102)
-            self.T_cd = jnp.asarray(
-                se3.inverse(se3.make(np.eye(3), [cfg.rgb_baseline_m, 0.0, 0.0]))
-            )
-            self.K_rgb = Intrinsics.centered(cfg.rgb_focal, cfg.w, cfg.h)
+            self.T_cd, self.K_rgb = _colour_camera(cfg)
         self.T_wl = jnp.asarray(se3.identity())
         self.frame = 0
         self.tracking_good = True
         self.rmse = 0.0
         self._step = None  # lazily-built one-jit frame step (separable)
         self._seq_run = None  # lazily-built whole-sequence scan runner
+
+    def _fresh_volumes(self, bb, cbb=None):
+        """(NaN-reset TSDF, 0.5-reset colour volume or None), z-sharded when
+        a mesh is set — the SdfReset recipe shared by __init__ and reset()
+        (main.cpp:224; cu_sdffusion.cu:166-169)."""
+        cfg = self.cfg
+        vol = TsdfVolume.create(cfg.vol_res, cfg.vol_res, cfg.vol_res, bb,
+                                trunc_dist=jnp.nan)
+        cvol = None
+        if cfg.use_colour:
+            cvol = BoundedVolume.create(
+                cfg.vol_res, cfg.vol_res, cfg.vol_res,
+                cbb if cbb is not None else bb, fill=0.5)
+        if self.mesh is not None:
+            from ..parallel import sharding as _sh
+
+            vol = _sh.shard_volume_z(vol, self.mesh)
+            if cvol is not None:
+                cvol = _sh.shard_bounded_volume_z(cvol, self.mesh)
+        return vol, cvol
 
     @property
     def trunc_dist(self) -> float:
@@ -464,22 +471,9 @@ class KinectFusion:
     def reset(self, T_wl=None):
         """Reset branch of the main loop (main.cpp:224-233): NaN-reset the
         TSDF, SdfReset(colorVol) back to 0.5, identity pose."""
-        cfg = self.cfg
-        self.vol = self.vol.reset(jnp.nan)
-        if self.mesh is not None:
-            from ..parallel import sharding as _sh
-
-            self.vol = _sh.shard_volume_z(self.vol, self.mesh)
-        if self.color_vol is not None:
-            self.color_vol = BoundedVolume.create(
-                cfg.vol_res, cfg.vol_res, cfg.vol_res, self.color_vol.bbox,
-                fill=0.5,
-            )
-            if self.mesh is not None:
-                from ..parallel import sharding as _sh
-
-                self.color_vol = _sh.shard_bounded_volume_z(self.color_vol,
-                                                            self.mesh)
+        self.vol, self.color_vol = self._fresh_volumes(
+            self.vol.bbox,
+            cbb=self.color_vol.bbox if self.color_vol is not None else None)
         self.T_wl = jnp.asarray(se3.identity() if T_wl is None else T_wl)
         self.frame = 0
         self.tracking_good = True
@@ -541,6 +535,9 @@ class KinectFusion:
                              "one-jit frame step")
         if cfg.use_colour and rgbs is None:
             raise ValueError("use_colour requires stacked rgbs")
+        if rgbs is not None and not cfg.use_colour:
+            raise ValueError("rgbs passed but the config has "
+                             "use_colour=False — they would be ignored")
         depths = jnp.asarray(depths)
         n = depths.shape[0]
         if self._seq_run is None:
@@ -581,9 +578,17 @@ class KinectFusion:
             return
         from ..fusion import rolling
 
-        self.vol = rolling.follow_camera(
+        shift = rolling.recenter_shift(
             self.vol, np.asarray(self.T_wl), lead=cfg.moving_lead_m,
             threshold_voxels=cfg.moving_threshold_voxels)
+        if shift == (0, 0, 0):
+            return
+        self.vol = rolling.roll_volume(self.vol, shift)
+        if self.color_vol is not None:
+            # the colour volume must follow the same world shift or its
+            # voxels are reinterpreted at shifted positions
+            self.color_vol = rolling.roll_bounded_volume(self.color_vol,
+                                                         shift)
 
     def process_frame(self, depth_raw, rgb=None, fuse: bool = True,
                       pose_refinement: bool = True):

@@ -50,6 +50,33 @@ def roll_volume(vol: TsdfVolume, shift_xyz, reset_val=jnp.nan) -> TsdfVolume:
     return TsdfVolume(val, weight, bbox)
 
 
+def roll_bounded_volume(bv, shift_xyz, reset_val=0.5):
+    """Roll a plain BoundedVolume (e.g. the colour volume) by the same
+    whole-voxel shift as its paired TSDF (:func:`roll_volume`); vacated
+    slabs reset to ``reset_val`` (SdfReset(colorVol) fills 0.5,
+    cu_sdffusion.cu:166-169)."""
+    from ..containers.volume import BoundedVolume
+
+    sx, sy, sz = [int(s) for s in shift_xyz]
+    data = bv.data
+    D, H, W = data.shape
+    step = np.asarray(bv.voxel_size_units())
+
+    for axis, s, n in ((2, sx, W), (1, sy, H), (0, sz, D)):
+        if s == 0:
+            continue
+        data = jnp.roll(data, -s, axis=axis)
+        idx = jnp.arange(n)
+        vacated = (idx >= n - s) if s > 0 else (idx < -s)
+        shape = [1, 1, 1]
+        shape[axis] = n
+        data = jnp.where(vacated.reshape(shape), reset_val, data)
+
+    offset = step * np.array([sx, sy, sz], np.float32)
+    bbox = BoundingBox(bv.bbox.lo + offset, bv.bbox.hi + offset)
+    return BoundedVolume(data, bbox)
+
+
 def recenter_shift(vol: TsdfVolume, T_wc, lead: float = 0.5,
                    threshold_voxels: int = 8) -> Tuple[int, int, int]:
     """Whole-voxel shift that re-centres the volume on a point ``lead``

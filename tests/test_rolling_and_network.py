@@ -66,3 +66,33 @@ class TestRollingVolume:
         T2 = se3.make(np.eye(3), [2.0, 0.0, -0.5])
         moved = rolling.follow_camera(vol, T2, threshold_voxels=2)
         assert float(moved.bbox.lo[0]) > float(vol.bbox.lo[0])
+
+
+class TestRollBoundedVolume:
+    def test_follows_tsdf_roll(self, rng):
+        """The colour volume must roll with the SAME whole-voxel shift as
+        its paired TSDF: identical bbox translation, identical content
+        movement, vacated slabs reset to 0.5."""
+        D, H, W = 8, 6, 10
+        bbox = kt.BoundingBox.create((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))
+        cdata = rng.random((D, H, W)).astype(np.float32)
+        bv = kt.BoundedVolume(jnp.asarray(cdata), bbox)
+        vol = kt.TsdfVolume(jnp.asarray(rng.random((D, H, W)).astype(np.float32)),
+                            jnp.ones((D, H, W), jnp.float32), bbox)
+        shift = (3, -2, 1)
+        v2 = rolling.roll_volume(vol, shift)
+        c2 = rolling.roll_bounded_volume(bv, shift)
+        np.testing.assert_allclose(np.asarray(c2.bbox.lo),
+                                   np.asarray(v2.bbox.lo), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(c2.bbox.hi),
+                                   np.asarray(v2.bbox.hi), rtol=1e-6)
+        # golden: sequential np.roll + vacated-slab masks, [z, y, x] layout
+        want = cdata.copy()
+        for axis, s, n in ((2, 3, W), (1, -2, H), (0, 1, D)):
+            want = np.roll(want, -s, axis=axis)
+            idx = np.arange(n)
+            vac = (idx >= n - s) if s > 0 else (idx < -s)
+            sh = [1, 1, 1]
+            sh[axis] = n
+            want = np.where(vac.reshape(sh), 0.5, want)
+        np.testing.assert_array_equal(np.asarray(c2.data), want)
