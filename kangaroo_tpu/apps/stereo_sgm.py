@@ -47,9 +47,27 @@ class SgmConfig:
     lr_from_left: bool = True
 
 
-def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
+def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig(), mesh=None):
     """Full SGM frame for the left image; returns float disparity with NaN
-    invalids (stereo2/main.cpp:374-436)."""
+    invalids (stereo2/main.cpp:374-436).
+
+    ``mesh`` (a jax.sharding.Mesh) runs the aggregation — the dominant
+    frame cost — multi-chip: the reshard strategy for 4-path
+    (column-sharded vertical scans, one all_to_all, row-sharded horizontal
+    — exact recurrences, parallel.sharding), or the ppermute carry
+    wavefront for 8-path. The image-sized stages (census, WTA, median, LR
+    check) stay replicated; they are a fraction of the frame. Requires the
+    default full path set and ``lr_from_left`` (the sharded ops have no
+    per-direction flags; the roll re-anchor avoids a second aggregation).
+    """
+    if mesh is not None:
+        if not (cfg.do_horiz and cfg.do_vert and cfg.do_reverse):
+            raise ValueError("mesh-parallel SGM runs the full path set — "
+                             "per-direction flags are single-device only")
+        if cfg.lr_check and not cfg.lr_from_left:
+            raise ValueError("mesh-parallel SGM requires lr_from_left "
+                             "(or lr_check=False)")
+        from ..parallel import sharding as _sh
     cl = census_mod.census(left, cfg.census_window)
     cr = census_mod.census(right, cfg.census_window)
     bits = census_mod.norm_bits(cfg.census_window)
@@ -61,10 +79,18 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig()):
 
     vol_l = census_mod.census_cost_volume(cl, cr, cfg.max_disp, -1, bits,
                                           dtype=vol_dtype)
-    agg_l = fast.semi_global_matching(
-        vol_l, left_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert,
-        cfg.do_reverse, cfg.do_diagonal,
-    )
+    if mesh is not None:
+        if cfg.do_diagonal:
+            agg_l = _sh.sharded_semi_global_matching(
+                vol_l, left_f, cfg.p1, cfg.p2, mesh, do_diagonal=True)
+        else:
+            agg_l = _sh.sharded_semi_global_matching_reshard(
+                vol_l, left_f, cfg.p1, cfg.p2, mesh)
+    else:
+        agg_l = fast.semi_global_matching(
+            vol_l, left_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert,
+            cfg.do_reverse, cfg.do_diagonal,
+        )
     if cfg.subpix:
         disp_l = fast.cost_vol_minimum_subpix(agg_l, -1)
     else:

@@ -340,6 +340,44 @@ class TestHaloStencil:
         np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+class TestShardedSgmApp:
+    """App-level mesh-parallel SGM (sgm_pipeline(mesh=...)): the sharded
+    aggregation slots into the full frame (census -> agg -> WTA -> median
+    -> LR) and the disparities match the single-device pipeline."""
+
+    @pytest.mark.parametrize("do_diagonal", [False, True])
+    def test_pipeline_matches_single_device(self, mesh, do_diagonal):
+        from kangaroo_tpu.apps import stereo_sgm
+
+        W, H, D = 64, 32, 16
+        left, right, _ = synthetic.stereo_pair(W, H, D, seed=5)
+        cfg = stereo_sgm.SgmConfig(max_disp=D, census_window="9x7",
+                                   do_diagonal=do_diagonal)
+        want = np.asarray(stereo_sgm.sgm_pipeline(left, right, cfg))
+        got = np.asarray(stereo_sgm.sgm_pipeline(left, right, cfg, mesh=mesh))
+        nan = np.isnan(want) & np.isnan(got)
+        # aggregated volumes match to ~1e-4; only near-tie WTA pixels may
+        # flip, so require near-equality almost everywhere
+        close = nan | (np.abs(want - got) < 0.1)
+        assert close.mean() > 0.99
+        both = np.isfinite(want) & np.isfinite(got)
+        assert np.median(np.abs(want[both] - got[both])) < 0.01
+
+    def test_single_device_flags_raise(self, mesh):
+        from kangaroo_tpu.apps import stereo_sgm
+
+        left, right, _ = synthetic.stereo_pair(32, 16, 8, seed=1)
+        with pytest.raises(ValueError):
+            stereo_sgm.sgm_pipeline(
+                left, right,
+                stereo_sgm.SgmConfig(max_disp=8, do_horiz=False), mesh=mesh)
+        with pytest.raises(ValueError):
+            stereo_sgm.sgm_pipeline(
+                left, right,
+                stereo_sgm.SgmConfig(max_disp=8, lr_from_left=False),
+                mesh=mesh)
+
+
 class TestShardedKinectFusionApp:
     """The app-level mesh-parallel path (KinectFusion(mesh=...)): the one-jit
     frame step with voxel-z-sharded fuse/raycast must track the synthetic
