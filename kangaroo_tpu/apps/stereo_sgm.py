@@ -232,12 +232,13 @@ class Stereo2App:
                  plane_fit: bool = True, heightmap: bool = True,
                  hm_size=(10.0, 10.0), hm_cell: float = 0.1,
                  min_disp: float = 1.0, plane_c: float = 0.5,
-                 plane_within: float = 20.0):
+                 plane_within: float = 20.0, mesh=None):
         from ..geometry.heightmap import HeightmapFusion
 
         self.K = K
         self.baseline = float(baseline)
         self.cfg = cfg
+        self.mesh = mesh  # multi-chip aggregation (sgm_pipeline mesh=)
         self.do_plane = plane_fit
         self.do_heightmap = heightmap
         self.min_disp = min_disp
@@ -289,7 +290,7 @@ class Stereo2App:
 
         if T_wc is None:
             T_wc = jnp.asarray(se3.identity())
-        disp = sgm_pipeline(left, right, self.cfg)
+        disp = sgm_pipeline(left, right, self.cfg, mesh=self.mesh)
         d3d = depth_mod.depth_from_disparity_vbo(
             disp, self.K, self.baseline, min_disp=self.min_disp)
         if self.do_plane:
