@@ -77,4 +77,41 @@ ms_r = 1e3 * time_fn(
 print(f"reshard-strategy SGM (1 shard, VGA/64) on TPU: {ms_r:.2f} ms "
       "(every recurrence is the Pallas kernel; per-chip work divides by "
       "the shard count on a real mesh, plus two all_to_alls)")
+
+# ---- app-level mesh paths on the 1-device TPU mesh: the packaged
+# sgm_pipeline(mesh=) and KinectFusion(mesh=) compositions (shard_map
+# inside the full jitted frames, Pallas kernels inside shard_map)
+from kangaroo_tpu.apps import stereo_sgm as sgm_app
+
+left = jnp.asarray((rng.random((H, W)) * 255).astype(np.uint8))
+right = jnp.asarray((rng.random((H, W)) * 255).astype(np.uint8))
+cfg = sgm_app.SgmConfig(max_disp=64, census_window="9x7")
+da = np.asarray(sgm_app.sgm_pipeline(left, right, cfg))
+db = np.asarray(sgm_app.sgm_pipeline(left, right, cfg, mesh=mesh))
+nan = np.isnan(da) & np.isnan(db)
+close = nan | (np.abs(da - db) < 0.1)
+print(f"sgm_pipeline(mesh=1-dev) vs single-device: {close.mean():.4f} "
+      "near-equal")
+assert close.mean() > 0.99
+
+import kangaroo_tpu as kt
+from kangaroo_tpu.apps import kinectfusion as kf_app
+from kangaroo_tpu.apps import synthetic
+
+Wk, Hk = 160, 120
+Kk = kt.Intrinsics.centered(Wk * 0.9, Wk, Hk)
+kcfg = kf_app.KinectFusionConfig(
+    w=Wk, h=Hk, vol_res=96, vol_extent=1.2, max_levels=2, its=(2, 2),
+    near=0.5, far=6.0, max_rmse=0.3, raycast_downsample=True)
+scene = synthetic.sphere_scene(res=96)
+frames = list(synthetic.depth_sequence(3, Kk, Wk, Hk, scene=scene,
+                                       step=0.015))
+pipe = kf_app.KinectFusion(Kk, kcfg, mesh=mesh)
+pipe.T_wl = frames[0][0]
+poses, rmses = pipe.run_sequence(jnp.stack(
+    [jnp.where(jnp.isfinite(d), d, 0.0) for _, d in frames]))
+drift = float(np.abs(np.asarray(poses[-1]) - np.asarray(frames[-1][0])).max())
+print(f"KinectFusion(mesh=1-dev) run_sequence: drift {drift:.4f}, "
+      f"rmse {float(rmses[-1]):.4f}")
+assert drift < 0.08 and pipe.tracking_good
 print("OK")
