@@ -442,18 +442,19 @@ class KinectFusion:
         self._step = None  # lazily-built one-jit frame step (separable)
         self._seq_run = None  # lazily-built whole-sequence scan runner
 
-    def _fresh_volumes(self, bb, cbb=None):
+    def _fresh_volumes(self, bb, cbb=None, shape=None):
         """(NaN-reset TSDF, 0.5-reset colour volume or None), z-sharded when
         a mesh is set — the SdfReset recipe shared by __init__ and reset()
-        (main.cpp:224; cu_sdffusion.cu:166-169)."""
+        (main.cpp:224; cu_sdffusion.cu:166-169). ``shape`` (D, H, W)
+        preserves a non-default resolution (e.g. after load_volume);
+        default is the config's vol_res cube."""
         cfg = self.cfg
-        vol = TsdfVolume.create(cfg.vol_res, cfg.vol_res, cfg.vol_res, bb,
-                                trunc_dist=jnp.nan)
+        d, h, w = shape if shape is not None else (cfg.vol_res,) * 3
+        vol = TsdfVolume.create(w, h, d, bb, trunc_dist=jnp.nan)
         cvol = None
         if cfg.use_colour:
             cvol = BoundedVolume.create(
-                cfg.vol_res, cfg.vol_res, cfg.vol_res,
-                cbb if cbb is not None else bb, fill=0.5)
+                w, h, d, cbb if cbb is not None else bb, fill=0.5)
         if self.mesh is not None:
             from ..parallel import sharding as _sh
 
@@ -473,7 +474,8 @@ class KinectFusion:
         TSDF, SdfReset(colorVol) back to 0.5, identity pose."""
         self.vol, self.color_vol = self._fresh_volumes(
             self.vol.bbox,
-            cbb=self.color_vol.bbox if self.color_vol is not None else None)
+            cbb=self.color_vol.bbox if self.color_vol is not None else None,
+            shape=self.vol.val.shape)  # preserve a load_volume resolution
         self.T_wl = jnp.asarray(se3.identity() if T_wl is None else T_wl)
         self.frame = 0
         self.tracking_good = True

@@ -11,11 +11,22 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from ..stereo import census as census_mod
 from ..stereo import costvolume as cv
 from ..stereo import dispatch as fast
+
+
+def _check_mesh_cfg(cfg):
+    """Fail fast on SgmConfig features the sharded aggregation lacks."""
+    if not (cfg.do_horiz and cfg.do_vert and cfg.do_reverse):
+        raise ValueError("mesh-parallel SGM runs the full path set — "
+                         "per-direction flags are single-device only")
+    if cfg.lr_check and not cfg.lr_from_left:
+        raise ValueError("mesh-parallel SGM requires lr_from_left "
+                         "(or lr_check=False)")
 
 
 @dataclasses.dataclass
@@ -61,12 +72,11 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig(), mesh=None):
     per-direction flags; the roll re-anchor avoids a second aggregation).
     """
     if mesh is not None:
-        if not (cfg.do_horiz and cfg.do_vert and cfg.do_reverse):
-            raise ValueError("mesh-parallel SGM runs the full path set — "
-                             "per-direction flags are single-device only")
-        if cfg.lr_check and not cfg.lr_from_left:
-            raise ValueError("mesh-parallel SGM requires lr_from_left "
-                             "(or lr_check=False)")
+        _check_mesh_cfg(cfg)
+        n = mesh.devices.size
+        if left.shape[0] % n or left.shape[1] % n:
+            raise ValueError("the mesh size must divide image H and W "
+                             "(sharded SGM reshards between both axes)")
         from ..parallel import sharding as _sh
     cl = census_mod.census(left, cfg.census_window)
     cr = census_mod.census(right, cfg.census_window)
@@ -86,6 +96,16 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig(), mesh=None):
         else:
             agg_l = _sh.sharded_semi_global_matching_reshard(
                 vol_l, left_f, cfg.p1, cfg.p2, mesh)
+        # replicate the aggregated volume explicitly before the tail: the
+        # WTA/median/LR stages dispatch Pallas kernels, which the SPMD
+        # partitioner cannot split — left implicit, it would all-gather
+        # anyway (opaque custom call); one explicit all_gather (~vol bytes
+        # over ICI, sub-ms at VGA/64) keeps the fast Pallas tail exactly
+        # the single-chip program. (Sharding the tail per row shard is the
+        # follow-up if the gather ever shows in a trace.)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        agg_l = jax.device_put(agg_l, NamedSharding(mesh, PartitionSpec()))
     else:
         agg_l = fast.semi_global_matching(
             vol_l, left_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert,
@@ -239,6 +259,8 @@ class Stereo2App:
         self.baseline = float(baseline)
         self.cfg = cfg
         self.mesh = mesh  # multi-chip aggregation (sgm_pipeline mesh=)
+        if mesh is not None:
+            _check_mesh_cfg(cfg)  # fail at construction, not first frame
         self.do_plane = plane_fit
         self.do_heightmap = heightmap
         self.min_disp = min_disp

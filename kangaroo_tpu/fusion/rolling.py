@@ -21,32 +21,39 @@ from ..containers.volume import TsdfVolume
 from ..core import se3
 
 
-def roll_volume(vol: TsdfVolume, shift_xyz, reset_val=jnp.nan) -> TsdfVolume:
-    """Shift the volume ``shift_xyz`` voxels along world (x, y, z): geometry
-    stays put in world space (the bbox translates), freshly exposed slabs
-    reset to (reset_val, weight 0)."""
+def _roll_plane(data, shift_xyz, reset_val):
+    """Roll one (D, H, W) voxel plane by whole voxels along [z, y, x],
+    resetting vacated slabs to ``reset_val``. Array layout is [z, y, x];
+    shifting the WINDOW by +s means content moves -s inside the array.
+    Shared by roll_volume (val + weight) and roll_bounded_volume so the
+    paired TSDF/colour rolls stay bit-identical by construction."""
     sx, sy, sz = [int(s) for s in shift_xyz]
-    val, weight = vol.val, vol.weight
-    D, H, W = val.shape
-    step = np.asarray(vol.voxel_size_units())
-
-    # array layout is [z, y, x]; shifting the WINDOW by +s means content
-    # moves -s inside the array
+    D, H, W = data.shape
     for axis, s, n in ((2, sx, W), (1, sy, H), (0, sz, D)):
         if s == 0:
             continue
-        val = jnp.roll(val, -s, axis=axis)
-        weight = jnp.roll(weight, -s, axis=axis)
+        data = jnp.roll(data, -s, axis=axis)
         idx = jnp.arange(n)
         vacated = (idx >= n - s) if s > 0 else (idx < -s)
         shape = [1, 1, 1]
         shape[axis] = n
-        mask = vacated.reshape(shape)
-        val = jnp.where(mask, reset_val, val)
-        weight = jnp.where(mask, 0.0, weight)
+        data = jnp.where(vacated.reshape(shape), reset_val, data)
+    return data
 
-    offset = step * np.array([sx, sy, sz], np.float32)
-    bbox = BoundingBox(vol.bbox.lo + offset, vol.bbox.hi + offset)
+
+def _rolled_bbox(bbox: BoundingBox, shift_xyz, step) -> BoundingBox:
+    offset = np.asarray(step) * np.array([int(s) for s in shift_xyz],
+                                         np.float32)
+    return BoundingBox(bbox.lo + offset, bbox.hi + offset)
+
+
+def roll_volume(vol: TsdfVolume, shift_xyz, reset_val=jnp.nan) -> TsdfVolume:
+    """Shift the volume ``shift_xyz`` voxels along world (x, y, z): geometry
+    stays put in world space (the bbox translates), freshly exposed slabs
+    reset to (reset_val, weight 0)."""
+    val = _roll_plane(vol.val, shift_xyz, reset_val)
+    weight = _roll_plane(vol.weight, shift_xyz, 0.0)
+    bbox = _rolled_bbox(vol.bbox, shift_xyz, vol.voxel_size_units())
     return TsdfVolume(val, weight, bbox)
 
 
@@ -57,23 +64,8 @@ def roll_bounded_volume(bv, shift_xyz, reset_val=0.5):
     cu_sdffusion.cu:166-169)."""
     from ..containers.volume import BoundedVolume
 
-    sx, sy, sz = [int(s) for s in shift_xyz]
-    data = bv.data
-    D, H, W = data.shape
-    step = np.asarray(bv.voxel_size_units())
-
-    for axis, s, n in ((2, sx, W), (1, sy, H), (0, sz, D)):
-        if s == 0:
-            continue
-        data = jnp.roll(data, -s, axis=axis)
-        idx = jnp.arange(n)
-        vacated = (idx >= n - s) if s > 0 else (idx < -s)
-        shape = [1, 1, 1]
-        shape[axis] = n
-        data = jnp.where(vacated.reshape(shape), reset_val, data)
-
-    offset = step * np.array([sx, sy, sz], np.float32)
-    bbox = BoundingBox(bv.bbox.lo + offset, bv.bbox.hi + offset)
+    data = _roll_plane(bv.data, shift_xyz, reset_val)
+    bbox = _rolled_bbox(bv.bbox, shift_xyz, bv.voxel_size_units())
     return BoundedVolume(data, bbox)
 
 

@@ -376,6 +376,17 @@ class TestShardedSgmApp:
                 left, right,
                 stereo_sgm.SgmConfig(max_disp=8, lr_from_left=False),
                 mesh=mesh)
+        # mesh-indivisible image dims fail fast with a clear error
+        l2, r2, _ = synthetic.stereo_pair(36, 16, 8, seed=1)
+        with pytest.raises(ValueError):
+            stereo_sgm.sgm_pipeline(l2, r2,
+                                    stereo_sgm.SgmConfig(max_disp=8),
+                                    mesh=mesh)
+        # and Stereo2App validates at construction, not first frame
+        with pytest.raises(ValueError):
+            stereo_sgm.Stereo2App(
+                kt.Intrinsics.centered(30.0, 32, 16), 0.1,
+                stereo_sgm.SgmConfig(max_disp=8, do_vert=False), mesh=mesh)
 
 
 class TestShardedKinectFusionApp:

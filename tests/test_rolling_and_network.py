@@ -86,13 +86,17 @@ class TestRollBoundedVolume:
                                    np.asarray(v2.bbox.lo), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(c2.bbox.hi),
                                    np.asarray(v2.bbox.hi), rtol=1e-6)
-        # golden: sequential np.roll + vacated-slab masks, [z, y, x] layout
-        want = cdata.copy()
-        for axis, s, n in ((2, 3, W), (1, -2, H), (0, 1, D)):
-            want = np.roll(want, -s, axis=axis)
-            idx = np.arange(n)
-            vac = (idx >= n - s) if s > 0 else (idx < -s)
-            sh = [1, 1, 1]
-            sh[axis] = n
-            want = np.where(vac.reshape(sh), 0.5, want)
-        np.testing.assert_array_equal(np.asarray(c2.data), want)
+        # reference: roll_volume itself, which TestRollingVolume pins
+        # independently via world-space trilinear invariance — the colour
+        # roll must move content exactly like a TSDF val plane whose
+        # reset value is the colour reset (0.5)
+        want = rolling.roll_volume(
+            kt.TsdfVolume(jnp.asarray(cdata), jnp.ones((D, H, W)), bbox),
+            shift, reset_val=0.5)
+        np.testing.assert_array_equal(np.asarray(c2.data),
+                                      np.asarray(want.val))
+        # spot-check the world anchoring independently of both
+        # implementations: a voxel value must stay at the same WORLD
+        # position after the roll (interior, away from vacated slabs)
+        # new[z, y, x] = old[z + sz, y + sy, x + sx] for shift (3, -2, 1)
+        assert np.asarray(c2.data)[2, 3, 2] == cdata[3, 1, 5]
