@@ -479,6 +479,37 @@ class TestShardedKinectFusionApp:
         assert touched.any()
         assert abs(np.median(fused[touched]) - 180.0 / 255.0) < 0.2
 
+    def test_mesh_parallel_colour_run_sequence(self, mesh):
+        """The full matrix cell: mesh + use_colour + the one-dispatch scan
+        replay (colour volume as a third scan carry, sharded fuse pair)."""
+        from kangaroo_tpu.apps import kinectfusion as kf
+
+        W, H = 64, 48
+        K = kt.Intrinsics.centered(55.0, W, H)
+        cfg = kf.KinectFusionConfig(
+            w=W, h=H, vol_res=48, vol_extent=1.2, max_levels=2, its=(2, 2),
+            near=0.5, far=6.0, max_rmse=0.3, bilateral_minval=0.2,
+            raycast_downsample=True, use_colour=True, rgb_focal=55.0,
+            rgb_baseline_m=0.0,
+        )
+        scene = synthetic.sphere_scene(res=64)
+        rgb = jnp.full((H, W, 3), 200.0)
+        frames = list(synthetic.depth_sequence(3, K, W, H, scene=scene,
+                                               step=0.015))
+        pipe = kf.KinectFusion(K, cfg, mesh=mesh)
+        pipe.T_wl = frames[0][0]
+        poses, _ = pipe.run_sequence(
+            jnp.stack([jnp.where(jnp.isfinite(d), d, 0.0)
+                       for _, d in frames]),
+            rgbs=jnp.stack([rgb] * 3))
+        assert pipe.tracking_good
+        drift = np.abs(np.asarray(poses[-1]) - np.asarray(frames[-1][0])).max()
+        assert drift < 0.06
+        fused = np.asarray(pipe.color_vol.data)
+        touched = np.asarray(pipe.vol.weight) > 0
+        assert touched.any()
+        assert abs(np.median(fused[touched]) - 200.0 / 255.0) < 0.2
+
     def test_mesh_requires_one_sweep_path(self, mesh):
         from kangaroo_tpu.apps import kinectfusion as kf
 
