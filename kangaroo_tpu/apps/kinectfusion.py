@@ -436,6 +436,7 @@ class KinectFusion:
         if cfg.use_colour:
             self.T_cd, self.K_rgb = _colour_camera(cfg)
         self.T_wl = jnp.asarray(se3.identity())
+        self.keyframes = []  # (img, K, T_iw) for view-dependent texturing
         self.frame = 0
         self.tracking_good = True
         self.rmse = 0.0
@@ -477,6 +478,7 @@ class KinectFusion:
             cbb=self.color_vol.bbox if self.color_vol is not None else None,
             shape=self.vol.val.shape)  # preserve a load_volume resolution
         self.T_wl = jnp.asarray(se3.identity() if T_wl is None else T_wl)
+        self.keyframes.clear()  # main.cpp:228
         self.frame = 0
         self.tracking_good = True
 
@@ -682,6 +684,38 @@ class KinectFusion:
             self.vol, T, Kl, w_l, h_l, cfg.near, cfg.far,
             trunc_dist=self.trunc_dist, color_vol=cvol,
         )
+
+    def save_keyframe(self, img, K_kf=None):
+        """'ui.Save KF' button (main.cpp:196-200): store the current camera
+        image + pose for view-dependent texturing. The keyframe pose is
+        T_iw = T_cd * T_wl^-1 (the colour camera's world-to-image transform;
+        identity T_cd without a colour rig). ``K_kf`` defaults to the colour
+        intrinsics (the reference rebuilds them per render from ui."RGB
+        focal length", main.cpp:264)."""
+        if K_kf is None:
+            K_kf = self.K_rgb if self.cfg.use_colour else self.K
+        T_lw = se3.inverse(self.T_wl)
+        T_iw = se3.compose(jnp.asarray(self.T_cd), T_lw) \
+            if self.cfg.use_colour else T_lw
+        self.keyframes.append((jnp.asarray(img), K_kf, jnp.asarray(T_iw)))
+
+    def render_textured(self, T_wc=None, level: int = 0):
+        """View-only render textured from the saved keyframes
+        (main.cpp:253-270: populate kfs, then TextureDepth over
+        Mat<ImageKeyframe,10>): raycast depth/normals/phong, then blend the
+        most recent <= 10 keyframes weighted by view alignment, with the
+        phong shading where no keyframe sees the surface. Returns
+        (depth, normals, rgba)."""
+        d, n, phong = self.render(T_wc, level)
+        if not self.keyframes:
+            rgba = jnp.concatenate(
+                [jnp.repeat(phong[..., None], 3, axis=-1),
+                 jnp.ones_like(phong)[..., None]], axis=-1)
+            return d, n, rgba
+        T_wd = self.T_wl if T_wc is None else jnp.asarray(T_wc)
+        rgba = depth_mod.texture_depth_keyframes(
+            d, n, phong, self.keyframes[-10:], T_wd, self.K.level(level))
+        return d, n, rgba
 
     def save_mesh(self, path: str):
         """'s' key: marching cubes -> mesh file (main.cpp:186-188)."""

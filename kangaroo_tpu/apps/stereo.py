@@ -223,3 +223,30 @@ def depth_and_cloud(disp, K, baseline, min_disp=16.0):
     depth = depth_mod.disp_to_depth(disp, K.fu, baseline, min_disp)
     cloud = depth_mod.depth_from_disparity_vbo(disp, K, baseline, min_disp)
     return depth, cloud
+
+
+def export_depthmap(out_dir, disp, left_img, fu, baseline, frame=0,
+                    timestamp=None, min_disp=0.0):
+    """The stereo app's save_depthmaps block (stereo/main.cpp:384-419):
+    Disp2Depth on the converged disparity, written as SDepth-<index>.pdm
+    (binary "P7" raw float32) beside the grey Left-<index>.pgm. The index
+    is the %05d frame counter, or the %015.10f capture timestamp when a
+    timestamp is given (the -export_time flag). Returns the two paths."""
+    import os
+
+    import numpy as np
+
+    from ..geometry import depth as depth_mod_
+    from ..io import pxm
+
+    index = (f"{timestamp:015.10f}" if timestamp is not None
+             else f"{int(frame):05d}")
+    depth = np.asarray(depth_mod_.disp_to_depth(disp, fu, baseline, min_disp))
+    dpath = os.path.join(out_dir, f"SDepth-{index}.pdm")
+    gpath = os.path.join(out_dir, f"Left-{index}.pgm")
+    pxm.save_pdm(dpath, depth)
+    grey = np.asarray(left_img)
+    if grey.dtype != np.uint8:
+        grey = np.clip(grey, 0, 255).astype(np.uint8)
+    pxm.save_pxm(gpath, grey)
+    return dpath, gpath

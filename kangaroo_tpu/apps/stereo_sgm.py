@@ -29,6 +29,35 @@ def _check_mesh_cfg(cfg):
                          "(or lr_check=False)")
 
 
+def _intensity(img):
+    """Intensity image on the reference's scale for SGM's adaptive-P2 edge
+    term P2' = P2/(1+|dI|): the app converts uchar to [0,1] float
+    (ElementwiseScaleBias 1/255, stereo2/main.cpp:376), so |dI| <= 1.
+    Integer inputs scale by 1/255; float inputs are assumed already on
+    that scale."""
+    f = img.astype(jnp.float32)
+    if jnp.issubdtype(jnp.asarray(img).dtype, jnp.integer):
+        f = f / 255.0
+    return f
+
+
+def _filter_volume(vol, guide, cfg: "SgmConfig"):
+    """Pre-aggregation cost-volume filtering (stereo2/main.cpp:391-421):
+    guided filter per slice, then the 3-weight cross bilateral."""
+    if cfg.guided_filter:
+        from ..ops import integral_image as ii
+
+        vol = ii.guided_filter_volume(vol, guide, cfg.filter_rad,
+                                      cfg.filter_eps)
+    if cfg.bilateral_filter:
+        from ..ops import bilateral as bf
+
+        vol = bf.bilateral_volume(vol, guide, cfg.bilateral_gs,
+                                  cfg.bilateral_gr, cfg.bilateral_size,
+                                  gc=cfg.bilateral_gc)
+    return vol
+
+
 @dataclasses.dataclass
 class SgmConfig:
     max_disp: int = 64
@@ -46,6 +75,21 @@ class SgmConfig:
     median_its: int = 1
     median_max_bad: int = 12
     subpix: bool = True
+    # pre-aggregation cost-volume filtering (stereo2/main.cpp:391-421):
+    # ui.filter (guided filter, rad 9 / eps 1e-4) and ui."Apply Bilateral
+    # Filter" (per-slice 3-weight cross bilateral, win 18 / gs 10 / gr 6 /
+    # gc 0.01). Both default OFF here: the benchmarked headline is the
+    # unfiltered pipeline, and the reference app (not in its build) ships
+    # ui.filter=true only as a live toggle. Either filter keeps the volume
+    # f32 (their arithmetic is not exactly representable in bf16).
+    guided_filter: bool = False
+    filter_rad: int = 9  # ui.radius
+    filter_eps: float = 0.01 * 0.01  # ui.eps
+    bilateral_filter: bool = False
+    bilateral_size: int = 18  # ui.size
+    bilateral_gs: float = 10.0  # ui.gs
+    bilateral_gr: float = 6.0  # ui.gr
+    bilateral_gc: float = 0.01  # ui.gc
     # derive the right disparity from the LEFT aggregated volume
     # (dispR(x) = argmin_d aggL(d, y, x+d), a free per-d lane roll) instead
     # of building + aggregating a second volume — ~1.6x faster end-to-end
@@ -81,14 +125,17 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig(), mesh=None):
     cl = census_mod.census(left, cfg.census_window)
     cr = census_mod.census(right, cfg.census_window)
     bits = census_mod.norm_bits(cfg.census_window)
-    left_f = left.astype(jnp.float32)
-    right_f = right.astype(jnp.float32)
+    left_f = _intensity(left)
+    right_f = _intensity(right)
     # power-of-two normalisers make every cost k/bits exact in bfloat16, so
-    # the half-bandwidth volume aggregates bit-identically (census.py)
-    vol_dtype = jnp.bfloat16 if bits & (bits - 1) == 0 else jnp.float32
+    # the half-bandwidth volume aggregates bit-identically (census.py);
+    # the volume filters' arithmetic is not bf16-exact, so they keep f32
+    vol_dtype = (jnp.float32 if cfg.guided_filter or cfg.bilateral_filter
+                 else jnp.bfloat16 if bits & (bits - 1) == 0 else jnp.float32)
 
     vol_l = census_mod.census_cost_volume(cl, cr, cfg.max_disp, -1, bits,
                                           dtype=vol_dtype)
+    vol_l = _filter_volume(vol_l, left_f, cfg)
     if mesh is not None:
         if cfg.do_diagonal:
             agg_l = _sh.sharded_semi_global_matching(
@@ -125,6 +172,7 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig(), mesh=None):
         else:
             vol_r = census_mod.census_cost_volume(cr, cl, cfg.max_disp, 1, bits,
                                                   dtype=vol_dtype)
+            vol_r = _filter_volume(vol_r, right_f, cfg)
             agg_r = fast.semi_global_matching(
                 vol_r, right_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert,
                 cfg.do_reverse, cfg.do_diagonal, sd=1,
@@ -182,7 +230,10 @@ def sgm_pipeline_batched(lefts, rights, cfg: SgmConfig = SgmConfig()):
     if not backend.use_pallas(
             H % sp.ROWS_PER_STEP == 0
             and _dispatch.sgm_shapes_ok((cfg.max_disp, B * H, W))
-            and not cfg.do_diagonal and cfg.lr_from_left):
+            and not cfg.do_diagonal and cfg.lr_from_left
+            # the volume filters are image-window stencils that must not
+            # read across frame seams — per-frame pipeline handles them
+            and not cfg.guided_filter and not cfg.bilateral_filter):
         return jnp.stack([sgm_pipeline(lefts[k], rights[k], cfg)
                           for k in range(B)])
 
@@ -200,7 +251,7 @@ def sgm_pipeline_batched(lefts, rights, cfg: SgmConfig = SgmConfig()):
     cr_s = jnp.concatenate(crs, axis=0)
     vol_s = census_mod.census_cost_volume(cl_s, cr_s, cfg.max_disp, -1,
                                           bits, dtype=vol_dtype)
-    img_s = lefts.reshape(B * H, W).astype(jnp.float32)
+    img_s = _intensity(lefts.reshape(B * H, W))
     agg_l = sp.semi_global_matching(vol_s, img_s, cfg.p1, cfg.p2,
                                     cfg.do_horiz, cfg.do_vert,
                                     cfg.do_reverse, seam_period=H)

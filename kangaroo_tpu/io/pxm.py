@@ -83,6 +83,32 @@ def save_volume(path: str, vol: np.ndarray) -> None:
             f.write(vol.tobytes())
 
 
+def save_pdm(path: str, depth: np.ndarray) -> None:
+    """Save a float32 depth map in the stereo app's binary "P7" .pdm format
+    (applications/stereo/main.cpp:404-410): "P7", "w h", the uint32 sentinel
+    maxval 4294967295, then raw little-endian float32 rows."""
+    depth = np.ascontiguousarray(np.asarray(depth, np.float32))
+    h, w = depth.shape
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wb") as f:
+        f.write(f"P7\n{w} {h}\n4294967295\n".encode())
+        f.write(depth.astype("<f4").tobytes())
+
+
+def load_pdm(path: str) -> np.ndarray:
+    """Inverse of :func:`save_pdm` (the reference only ever writes .pdm)."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        magic = _read_token(f).decode()
+        if magic != "P7":
+            raise ValueError(f"not a P7 .pdm file: magic {magic!r}")
+        w = int(_read_token(f))
+        h = int(_read_token(f))
+        _read_token(f)  # maxval sentinel (4294967295)
+        raw = f.read()
+    return np.frombuffer(raw, "<f4", count=w * h).reshape(h, w).copy()
+
+
 def _read_token(f) -> bytes:
     """Read one whitespace-delimited token, skipping '#' comments."""
     tok = b""

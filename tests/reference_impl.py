@@ -247,6 +247,35 @@ def bilateral(img, gs, gr, size, minval=None):
     return out
 
 
+def bilateral_cross3(img, guide, gs, gr, gc, size):
+    """3-weight guided bilateral (cu_bilateral.cu:110-142): spatial gs,
+    self range gr on the filtered values p-q, colour range gc on the
+    guide pc-qc."""
+    H, W = img.shape
+    out = np.zeros((H, W), np.float32)
+    for y in range(H):
+        for x in range(W):
+            p = img[y, x]
+            pc = guide[y, x]
+            s = 0.0
+            sw = 0.0
+            for r in range(-size, size + 1):
+                for c in range(-size, size + 1):
+                    yy = min(max(y + r, 0), H - 1)
+                    xx = min(max(x + c, 0), W - 1)
+                    q = img[yy, xx]
+                    qc = guide[yy, xx]
+                    w = (
+                        np.exp(-(r * r + c * c) / (2 * gs * gs))
+                        * np.exp(-((p - q) ** 2) / (2 * gr * gr))
+                        * np.exp(-((pc - qc) ** 2) / (2 * gc * gc))
+                    )
+                    s += w * q
+                    sw += w
+            out[y, x] = p if sw == 0 else s / sw
+    return out
+
+
 def box_filter(img, rad):
     H, W = img.shape
     out = np.zeros((H, W), np.float32)

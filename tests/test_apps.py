@@ -46,6 +46,25 @@ class TestSgmApp:
         assert np.median(err) < 1.0
         assert (err < 1.0).mean() > 0.8
 
+    def test_cost_volume_filters(self):
+        # stereo2's pre-aggregation toggles (main.cpp:391-421): guided
+        # filter + 3-weight cross bilateral on every slice. Both on, the
+        # pipeline must still recover the synthetic disparity.
+        left, right, gt = synthetic.stereo_pair(96, 64, 16, seed=0)
+        cfg = stereo_sgm.SgmConfig(
+            max_disp=16, census_window="9x7", p1=0.03, p2=0.1,
+            guided_filter=True, filter_rad=4,
+            bilateral_filter=True, bilateral_size=3)
+        disp = np.asarray(stereo_sgm.sgm_pipeline(left, right, cfg))
+        g = np.asarray(gt)
+        valid = np.isfinite(disp)
+        inner = np.zeros_like(valid)
+        inner[8:-8, 20:-8] = True
+        m = valid & inner
+        assert m.sum() / inner.sum() > 0.5
+        err = np.abs(disp[m] - g[m])
+        assert np.median(err) < 1.0
+
 
 class TestVariationalStereoApp:
     def test_dtam_pipeline_runs_and_is_accurate(self):
@@ -314,6 +333,34 @@ class TestKinectFusionApp:
         assert hit.any()
         vals = np.asarray(img)[hit]
         assert abs(np.median(vals) - 180.0 / 255.0) < 0.2
+
+    def test_keyframe_texturing(self):
+        # 'Save KF' + viewonly TextureDepth over Mat<ImageKeyframe,10>
+        # (main.cpp:196-200, 253-270): saved keyframes texture the render;
+        # with none saved the phong shading shows through.
+        W, H = 48, 36
+        K = kt.Intrinsics.centered(40.0, W, H)
+        cfg = kf.KinectFusionConfig(w=W, h=H, vol_res=32, vol_extent=1.2,
+                                    max_levels=1, its=(1,), near=0.5, far=6.0)
+        pipe = kf.KinectFusion(K, cfg)
+        scene = synthetic.sphere_scene(res=48)
+        for T_wc, depth in synthetic.depth_sequence(2, K, W, H, scene=scene,
+                                                    step=0.2):
+            pipe.T_wl = T_wc
+            pipe.process_frame(jnp.where(jnp.isfinite(depth), depth, 0.0),
+                               pose_refinement=False)
+        d0, _, rgba0 = pipe.render_textured()
+        assert rgba0.shape == (H, W, 4)
+        pipe.save_keyframe(jnp.full((H, W), 210.0))
+        assert len(pipe.keyframes) == 1
+        d, n, rgba = pipe.render_textured()
+        hit = np.isfinite(np.asarray(d))
+        assert hit.any()
+        vals = np.asarray(rgba)[..., 0][hit]
+        # surface seen by the keyframe takes its (grey 210/255) colour
+        assert abs(np.median(vals) - 210.0 / 255.0) < 0.1
+        pipe.reset()  # keyframes.clear() (main.cpp:228)
+        assert pipe.keyframes == []
 
     def test_render_and_mesh(self, tmp_path):
         W, H = 48, 36

@@ -248,6 +248,37 @@ class TestPxmIO:
         back = pxm.load_volume(p, np.float32)
         np.testing.assert_array_equal(back, vol)
 
+    def test_pdm_roundtrip(self, tmp_path, rng):
+        # the stereo app's P7 depth-map export (stereo/main.cpp:404-410)
+        from kangaroo_tpu.io import pxm
+
+        depth = rng.random((6, 8)).astype(np.float32)
+        p = str(tmp_path / "SDepth-00000.pdm")
+        pxm.save_pdm(p, depth)
+        with open(p, "rb") as f:
+            head = f.read(32)
+        assert head.startswith(b"P7\n8 6\n4294967295\n")
+        np.testing.assert_array_equal(pxm.load_pdm(p), depth)
+
+    def test_export_depthmap_names_and_content(self, tmp_path, rng):
+        from kangaroo_tpu.apps import stereo as stereo_app
+        from kangaroo_tpu.io import pxm
+
+        disp = (rng.random((6, 8)) * 16 + 1).astype(np.float32)
+        left = (rng.random((6, 8)) * 255).astype(np.uint8)
+        dpath, gpath = stereo_app.export_depthmap(
+            str(tmp_path), disp, left, fu=40.0, baseline=0.1, frame=3)
+        assert dpath.endswith("SDepth-00003.pdm")
+        assert gpath.endswith("Left-00003.pgm")
+        depth = pxm.load_pdm(dpath)
+        np.testing.assert_allclose(depth, 40.0 * 0.1 / disp, rtol=1e-6)
+        np.testing.assert_array_equal(pxm.load_pxm(gpath), left)
+        # -export_time flag: %015.10f timestamp index (main.cpp:396-398)
+        dpath, _ = stereo_app.export_depthmap(
+            str(tmp_path), disp, left, fu=40.0, baseline=0.1,
+            timestamp=12.5)
+        assert dpath.endswith("SDepth-0012.5000000000.pdm")
+
     def test_tsdf_roundtrip(self, tmp_path):
         from kangaroo_tpu.io import pxm
 

@@ -67,6 +67,27 @@ class TestBilateral:
         want = ref.bilateral(img, 2.0, 0.5, 3)
         np.testing.assert_allclose(got, want, rtol=1e-4)
 
+    def test_cross3_matches_golden(self, rng):
+        # the reference's full 3-weight overload: spatial + self range +
+        # guide range (cu_bilateral.cu:110-142)
+        img = rng.random((10, 12)).astype(np.float32)
+        guide = rng.random((10, 12)).astype(np.float32)
+        got = np.asarray(
+            bf.bilateral_cross(jnp.asarray(img), jnp.asarray(guide),
+                               2.0, 0.5, 3, gc=0.3))
+        want = ref.bilateral_cross3(img, guide, 2.0, 0.5, 0.3, 3)
+        np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    def test_volume_filters_slices_independently(self, rng):
+        vol = rng.random((3, 10, 12)).astype(np.float32)
+        guide = rng.random((10, 12)).astype(np.float32)
+        got = np.asarray(
+            bf.bilateral_volume(jnp.asarray(vol), jnp.asarray(guide),
+                                2.0, 0.5, 2, gc=0.3))
+        for d in range(3):
+            want = ref.bilateral_cross3(vol[d], guide, 2.0, 0.5, 0.3, 2)
+            np.testing.assert_allclose(got[d], want, rtol=1e-4)
+
 
 class TestConvolution:
     def test_normalized_box(self, rng):
