@@ -39,6 +39,17 @@ class StereoConfig:
     # edge weights (main.cpp:207-208)
     g_alpha: float = 14.0
     g_beta: float = 2.5
+    # box-mean subtract before the cost volume (ui.avg_rad,
+    # main.cpp:201/309-312): img := img - boxmean(img, avg_rad) + 0.5
+    avg_rad: int = 0
+    # trunc-abs-grad cost mix (ui.alpha/r1/r2, main.cpp:217-219). The
+    # reference KERNEL overrides alpha=0, r1=1e37 regardless of the Vars
+    # (cu_dense_stereo.cu:829-830) — these defaults reproduce the effective
+    # behaviour; set them to the Var defaults (0.9/100/100) for the UI's
+    # declared (dead) tuning.
+    tag_alpha: float = 0.0
+    tag_r1: float = 1e37
+    tag_r2: float = 1e37
     # guided filter (main.cpp:222-224)
     filter_volume: bool = False
     filter_rad: int = 9
@@ -50,6 +61,19 @@ class StereoConfig:
     median_max_bad: int = 12
     filt_grad_thresh: float = 0.0
     dtam_iterations: int = 80  # host loop runs 5/frame until theta small
+
+
+def preprocess_intensity(img, cfg: StereoConfig):
+    """Front-end intensity conditioning (main.cpp:308-312): uchar scales to
+    [0,1] float (ElementwiseScaleBias 1/255; float inputs are assumed
+    already on that scale), then the optional zero-mean re-centre
+    img - boxmean(img, avg_rad) + 0.5 (ui.avg_rad)."""
+    f = img.astype(jnp.float32)
+    if jnp.issubdtype(jnp.asarray(img).dtype, jnp.integer):
+        f = f / 255.0
+    if cfg.avg_rad > 0:
+        f = f - ii.box_filter(f, cfg.avg_rad) + 0.5
+    return f
 
 
 def cost_volume(left, right, cfg: StereoConfig, sd: int = -1):
@@ -75,7 +99,7 @@ def cost_volume(left, right, cfg: StereoConfig, sd: int = -1):
     imgs = (left, right) if sd < 0 else (right, left)
     return cv.cost_volume_from_stereo_truncated_abs_and_grad(
         imgs[0].astype(jnp.float32), imgs[1].astype(jnp.float32),
-        cfg.max_disp, sd,
+        cfg.max_disp, sd, alpha=cfg.tag_alpha, r1=cfg.tag_r1, r2=cfg.tag_r2,
     )
 
 
@@ -97,7 +121,10 @@ def dtam_solve(vol, img_left, lam, theta_start, sigma_q, sigma_d, huber_alpha,
     from .. import backend
     from ..stereo import dtam_pallas
 
-    g = cv.exponential_edge_weight(img_left.astype(jnp.float32) / 255.0, g_alpha, g_beta)
+    g_img = img_left.astype(jnp.float32)
+    if jnp.issubdtype(jnp.asarray(img_left).dtype, jnp.integer):
+        g_img = g_img / 255.0  # float inputs are already on the [0,1] scale
+    g = cv.exponential_edge_weight(g_img, g_alpha, g_beta)
     d0 = fast.cost_vol_minimum_subpix(vol, sd)
     if backend.use_pallas(dtam_pallas.fits(vol)):
         return dtam_pallas.dtam_solve(vol, g, d0, lam, theta_start, sigma_q,
@@ -135,14 +162,19 @@ def postprocess(disp_l, disp_r, cfg: StereoConfig):
 
 def stereo_pipeline(left, right, cfg: StereoConfig = StereoConfig(),
                     use_dtam: bool = True):
-    """Full frame: volume -> (guided filter) -> WTA or DTAM -> post."""
-    vol_l = cost_volume(left, right, cfg, -1)
+    """Full frame: preprocess -> volume -> (guided filter) -> WTA or DTAM
+    -> post (main.cpp:280-474). Census, the edge weight and the
+    trunc-abs-grad costs all see the preprocessed [0,1] (optionally
+    zero-mean) intensities, like the reference's img[] pyramid."""
+    left_p = preprocess_intensity(left, cfg)
+    right_p = preprocess_intensity(right, cfg)
+    vol_l = cost_volume(left_p, right_p, cfg, -1)
     if cfg.filter_volume:
-        guide = left.astype(jnp.float32) / 255.0
-        vol_l = ii.guided_filter_volume(vol_l, guide, cfg.filter_rad, cfg.filter_eps)
+        vol_l = ii.guided_filter_volume(vol_l, left_p, cfg.filter_rad,
+                                        cfg.filter_eps)
     if use_dtam:
         disp_l = dtam_solve(
-            vol_l, left, cfg.lam, cfg.theta_start, cfg.sigma_q, cfg.sigma_d,
+            vol_l, left_p, cfg.lam, cfg.theta_start, cfg.sigma_q, cfg.sigma_d,
             cfg.huber_alpha, cfg.beta, cfg.g_alpha, cfg.g_beta,
             iterations=cfg.dtam_iterations,
         )
@@ -150,7 +182,7 @@ def stereo_pipeline(left, right, cfg: StereoConfig = StereoConfig(),
         disp_l = fast.cost_vol_minimum_subpix(vol_l, -1)
     disp_r = None
     if cfg.lr_check:
-        vol_r = cost_volume(left, right, cfg, 1)
+        vol_r = cost_volume(left_p, right_p, cfg, 1)
         disp_r = fast.cost_vol_minimum_subpix(vol_r, 1)
     return postprocess(disp_l, disp_r, cfg)
 

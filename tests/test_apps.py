@@ -67,6 +67,33 @@ class TestSgmApp:
 
 
 class TestVariationalStereoApp:
+    def test_avg_rad_and_tag_volume(self):
+        # ui.avg_rad box-mean subtract (main.cpp:309-312) + the
+        # trunc-abs-grad cost path (use_census=False) at the preprocessed
+        # [0,1] scale: WTA must still recover the synthetic disparity.
+        left, right, gt = synthetic.stereo_pair(96, 64, 16, seed=0)
+        cfg = stereo_app.StereoConfig(max_disp=16, census_window="9x7",
+                                      avg_rad=8, lr_check=True)
+        pre = np.asarray(stereo_app.preprocess_intensity(left, cfg))
+        assert abs(pre.mean() - 0.5) < 0.05  # re-centred at 0.5
+        disp = np.asarray(stereo_app.stereo_pipeline(left, right, cfg,
+                                                     use_dtam=False))
+        g = np.asarray(gt)
+        m = np.isfinite(disp)
+        m[:8] = m[-8:] = False
+        m[:, :20] = m[:, -8:] = False
+        assert np.median(np.abs(disp[m] - g[m])) < 1.0
+
+        cfg2 = stereo_app.StereoConfig(max_disp=16, use_census=False,
+                                       avg_rad=8, lr_check=True)
+        disp2 = np.asarray(stereo_app.stereo_pipeline(left, right, cfg2,
+                                                      use_dtam=False))
+        m2 = np.isfinite(disp2)
+        m2[:8] = m2[-8:] = False
+        m2[:, :20] = m2[:, -8:] = False
+        assert m2.any()
+        assert np.median(np.abs(disp2[m2] - g[m2])) < 1.5
+
     def test_dtam_pipeline_runs_and_is_accurate(self):
         left, right, gt = synthetic.stereo_pair(96, 64, 16, seed=0)
         cfg = stereo_app.StereoConfig(
