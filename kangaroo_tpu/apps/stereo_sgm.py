@@ -143,16 +143,18 @@ def sgm_pipeline(left, right, cfg: SgmConfig = SgmConfig(), mesh=None):
         else:
             agg_l = _sh.sharded_semi_global_matching_reshard(
                 vol_l, left_f, cfg.p1, cfg.p2, mesh)
-        # replicate the aggregated volume explicitly before the tail: the
-        # WTA/median/LR stages dispatch Pallas kernels, which the SPMD
-        # partitioner cannot split — left implicit, it would all-gather
-        # anyway (opaque custom call); one explicit all_gather (~vol bytes
-        # over ICI, sub-ms at VGA/64) keeps the fast Pallas tail exactly
-        # the single-chip program. (Sharding the tail per row shard is the
-        # follow-up if the gather ever shows in a trace.)
+        # the tail consumes the aggregation's row shards directly: WTA,
+        # the lane-roll right re-anchor and the LR checks are row-local,
+        # and the medians halo-exchange 2 rows — so the full-volume
+        # all_gather a replicated tail would pay never happens; only the
+        # final (H, W) disparity image is replicated (~D x cheaper).
+        disp = _sh.sharded_sgm_tail(
+            agg_l, mesh, cfg.max_disp, subpix=cfg.subpix,
+            lr_check=cfg.lr_check, max_disp_diff=cfg.max_disp_diff,
+            median_its=cfg.median_its, median_max_bad=cfg.median_max_bad)
         from jax.sharding import NamedSharding, PartitionSpec
 
-        agg_l = jax.device_put(agg_l, NamedSharding(mesh, PartitionSpec()))
+        return jax.device_put(disp, NamedSharding(mesh, PartitionSpec()))
     else:
         agg_l = fast.semi_global_matching(
             vol_l, left_f, cfg.p1, cfg.p2, cfg.do_horiz, cfg.do_vert,

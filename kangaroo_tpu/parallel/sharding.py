@@ -917,3 +917,71 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
         check_vma=False,
     )
     return f(vol, img)
+
+
+# --------------------------------------------------------------------------
+# Row-sharded SGM tail: WTA + medians + LR check without replication
+# --------------------------------------------------------------------------
+
+
+def sharded_sgm_tail(agg, mesh, max_disp: int, *, subpix: bool = True,
+                     lr_check: bool = True, max_disp_diff=1.0,
+                     median_its: int = 1, median_max_bad: int = 12):
+    """Post-aggregation SGM tail on a ROW-SHARDED aggregated volume
+    (stereo2/main.cpp:429-455: WTA [subpix] -> medians both sides -> LR
+    check both ways, with the right side re-anchored from the left volume).
+
+    Previously the app replicated the aggregated volume (one full-volume
+    all_gather over ICI) because the tail's Pallas kernels are opaque to
+    the SPMD partitioner; every tail stage is in fact row-local — WTA and
+    the parabola refinement reduce over D per pixel, the right re-anchor
+    ``aggR[d,y,x] = aggL[d,y,x+d]`` and the LR checks only move along x —
+    except the 5x5 medians, which exchange a 2-row halo per iteration
+    (``halo_exchange_rows``; edge replication matches the median's
+    ``mode="edge"`` padding, so interior AND border shards are bit-equal
+    to the single-device stages). Inside each shard the stages are the
+    same ``stereo.dispatch`` kernels as the single-chip pipeline.
+
+    ``agg`` is (D, H, W) with H sharded over ``mesh``; returns the final
+    left disparity, row-sharded (H, W) — all_gathering that image is ~1000x
+    cheaper than gathering the volume.
+    """
+    from ..stereo import dispatch as fast
+
+    def _median(d):
+        padded = halo_exchange_rows(d, 2)
+        out = fast.median_filter_reject_invalid(padded, median_max_bad, rad=2)
+        return out[2:-2]
+
+    def local(agg_block):
+        if subpix:
+            disp_l = fast.cost_vol_minimum_subpix(agg_block, -1)
+        else:
+            disp_l = cv.cost_vol_minimum(agg_block, max_disp).astype(
+                jnp.float32)
+        disp_r = None
+        if lr_check:
+            agg_r = cv.reanchor_right(agg_block)
+            if subpix:
+                disp_r = fast.cost_vol_minimum_subpix(agg_r, 1)
+            else:
+                disp_r = cv.cost_vol_minimum(agg_r, max_disp).astype(
+                    jnp.float32)
+        for _ in range(median_its):
+            disp_l = _median(disp_l)
+            if lr_check:
+                disp_r = _median(disp_r)
+        if lr_check:
+            disp_r = fast.left_right_check(disp_r, disp_l, 1, max_disp_diff,
+                                           max_disp=max_disp)
+            disp_l = fast.left_right_check(disp_l, disp_r, -1, max_disp_diff,
+                                           max_disp=max_disp)
+        return disp_l
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=P(None, AXIS, None),
+        out_specs=P(AXIS, None),
+        check_vma=False,
+    )
+    return f(agg)

@@ -340,6 +340,45 @@ class TestHaloStencil:
         np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+class TestShardedSgmTail:
+    def test_bit_equal_to_single_device(self, mesh):
+        # the row-sharded post-aggregation tail (WTA subpix -> re-anchor ->
+        # medians -> both-way LR check) must be BIT-identical to the
+        # single-device stage sequence: every stage is row-local except the
+        # medians, whose 2-row halo exchange edge-replicates exactly like
+        # the unsharded mode="edge" padding.
+        from kangaroo_tpu.stereo import dispatch as fast
+
+        D, H, W = 16, 32, 64
+        rng = np.random.default_rng(3)
+        agg = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        disp_l = fast.cost_vol_minimum_subpix(agg, -1)
+        disp_r = fast.cost_vol_minimum_subpix(cv.reanchor_right(agg), 1)
+        disp_l = fast.median_filter_reject_invalid(disp_l, 12, rad=2)
+        disp_r = fast.median_filter_reject_invalid(disp_r, 12, rad=2)
+        disp_r = fast.left_right_check(disp_r, disp_l, 1, 1.0, max_disp=D)
+        want = np.asarray(
+            fast.left_right_check(disp_l, disp_r, -1, 1.0, max_disp=D))
+        got = np.asarray(sharding.sharded_sgm_tail(agg, mesh, D))
+        nan = np.isnan(want) & np.isnan(got)
+        assert (nan | (got == want)).all()
+
+    def test_no_lr_no_subpix(self, mesh):
+        D, H, W = 16, 32, 64
+        rng = np.random.default_rng(4)
+        agg = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        from kangaroo_tpu.stereo import dispatch as fast
+
+        want = cv.cost_vol_minimum(agg, D).astype(jnp.float32)
+        want = np.asarray(
+            fast.median_filter_reject_invalid(want, 12, rad=2))
+        got = np.asarray(
+            sharding.sharded_sgm_tail(agg, mesh, D, subpix=False,
+                                      lr_check=False))
+        nan = np.isnan(want) & np.isnan(got)
+        assert (nan | (got == want)).all()
+
+
 class TestShardedSgmApp:
     """App-level mesh-parallel SGM (sgm_pipeline(mesh=...)): the sharded
     aggregation slots into the full frame (census -> agg -> WTA -> median
