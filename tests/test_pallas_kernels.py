@@ -428,11 +428,14 @@ class TestDtamPallas:
         vol = jnp.asarray(
             (rng.integers(0, 257, (D, H, W)) / 256.0).astype(np.float32))
         vol = vol.astype(dtype)
-        img = jnp.asarray((rng.random((H, W)) * 255).astype(np.float32))
+        # float intensities are on the app's [0,1] scale (uchar/255,
+        # apps.stereo.preprocess_intensity) — dtam_solve computes its edge
+        # weight from them directly
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
         lam, th0, sq, sdt, al, be = 20.0, 100.0, 0.7, 0.7, 0.002, 1e-5
         want = np.asarray(stereo_app.dtam_solve(
             vol, img, lam, th0, sq, sdt, al, be, 1.0, 2.5, iterations=6))
-        g = cv.exponential_edge_weight(img / 255.0, 1.0, 2.5)
+        g = cv.exponential_edge_weight(img, 1.0, 2.5)
         d0 = fast.cost_vol_minimum_subpix(vol, -1)
         got = np.asarray(dtam_pallas.dtam_solve(
             vol, g, d0, lam, th0, sq, sdt, al, be, iterations=6))
