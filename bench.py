@@ -260,7 +260,15 @@ def bench_kf_sequence(iters=4, n_frames=8, res=256, wh=(640, 480)):
     depths = jnp.stack([jnp.where(jnp.isfinite(d), d, 0.0)
                         for _, d in frames[1:]])
     firsts = jnp.zeros((n_frames,), bool)
-    runner = kf.make_sequence_runner(K, cfg, pipe.trunc_dist)
+    # static sweep axis from the seed pose, exactly like run_sequence does
+    # (the per-pose 'auto' switch relayout-copies the volumes every frame
+    # inside a scan — see make_sequence_runner)
+    from kangaroo_tpu.core import se3
+    from kangaroo_tpu.fusion.separable import _view_axis_index
+
+    axis = int(_view_axis_index(se3.inverse(pipe.T_wl)))
+    runner = kf.make_sequence_runner(K, cfg, pipe.trunc_dist,
+                                     sweep_axis=axis)
     lo, hi = pipe.vol.bbox.lo, pipe.vol.bbox.hi
 
     def seq(val, weight, T_wl, depths):

@@ -221,7 +221,8 @@ def _colour_camera(cfg: KinectFusionConfig):
 
 
 def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
-                    trunc_dist: float, mesh=None):
+                    trunc_dist: float, mesh=None,
+                    sweep_axis: int | str = "auto"):
     """ONE jitted function for the whole frame (main.cpp:190-360): depth
     preprocess -> model raycast pyramid -> multi-level ICP -> gated pose
     update -> TSDF fuse. Requires the separable engine — its fuse/raycast
@@ -246,6 +247,15 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
     the re-seed after a reset fuses unconditionally at the current pose);
     (lo, hi) is the volume bbox (an argument so the moving-workspace roll
     does not retrigger compilation).
+
+    ``sweep_axis`` (0=z, 1=y, 2=x, 'auto') pins the fuse/raycast plane
+    sweep to one STATIC axis instead of the per-pose ``lax.switch``. For a
+    single dispatch 'auto' is free, but when the step body becomes a
+    ``lax.scan``/``fori_loop`` carry (make_sequence_runner) the switch's
+    transposed branches leak a transposed volume layout into the loop
+    carry and XLA inserts full-volume relayout copies EVERY frame — traced
+    at ~14 ms/frame of pure copies at 256^3, 21 ms/frame total vs 6 ms
+    standalone; pinning the axis restored scan parity (docs/PERF.md).
 
     With ``cfg.use_colour`` the step fuses the colour volume in the same
     jit (main.cpp:355 fuses colour in the frame loop too):
@@ -282,7 +292,8 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
             else:
                 d0, _, _ = separable.raycast_sdf_separable(
                     vol, T_wl, K, cfg.w, cfg.h, cfg.near, cfg.far,
-                    trunc_dist=trunc_dist, shade=False)
+                    trunc_dist=trunc_dist, shade=False,
+                    sweep_axis=sweep_axis)
             # pin the sweep result: its depth pyramid has 6 consumers (vbo +
             # normals per ICP level) and XLA otherwise rematerialises parts
             # of the 256-plane sweep into them
@@ -326,6 +337,7 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
                     vol, cvol, kin_v[0][..., 2], kin_n[0], T_lw, K, rgb,
                     se3.compose(T_cd, T_lw), K_rgb, trunc_dist,
                     cfg.max_w, cfg.min_cos_theta, enable=good | first,
+                    sweep_axis=sweep_axis,
                     near=cfg.near if cfg.fuse_roi else None,
                     far=cfg.far if cfg.fuse_roi else None,
                 )
@@ -341,6 +353,7 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
             fused = separable.sdf_fuse_separable(
                 vol, kin_v[0][..., 2], kin_n[0], T_lw, K, trunc_dist,
                 cfg.max_w, cfg.min_cos_theta, enable=good | first,
+                sweep_axis=sweep_axis,
                 near=cfg.near if cfg.fuse_roi else None,
                 far=cfg.far if cfg.fuse_roi else None,
             )
@@ -360,7 +373,8 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
 
 
 def make_sequence_runner(K: Intrinsics, cfg: KinectFusionConfig,
-                         trunc_dist: float, mesh=None):
+                         trunc_dist: float, mesh=None,
+                         sweep_axis: int | str = 0):
     """ONE jitted program for a whole recorded depth sequence:
     ``lax.scan`` of :func:`make_frame_step` over stacked frames.
 
@@ -376,8 +390,19 @@ def make_sequence_runner(K: Intrinsics, cfg: KinectFusionConfig,
     ``cfg.use_colour`` the runner also scans the colour volume and a
     stacked ``rgbs`` (N, H, W, 3):
     ``run(val, weight, cval, T_wl, depths, rgbs, firsts, lo, hi)``.
+
+    ``sweep_axis`` must be a STATIC axis (0=z default, 1=y, 2=x) — inside
+    a scan the per-pose 'auto' ``lax.switch`` leaks a transposed volume
+    layout into the loop carry and XLA relayout-copies both volumes every
+    frame (~3.5x the frame cost at 256^3; see make_frame_step). Pick the
+    dominant view axis of the sequence's poses
+    (``fusion.separable._view_axis_index``); when every pose in the
+    sequence shares that dominant axis the scan is bit-identical to the
+    per-frame 'auto' path. 'auto' is still accepted for callers that need
+    per-pose axis selection and accept the copies.
     """
-    step = make_frame_step(K, cfg, None, trunc_dist, mesh=mesh)
+    step = make_frame_step(K, cfg, None, trunc_dist, mesh=mesh,
+                           sweep_axis=sweep_axis)
 
     if cfg.use_colour:
         @jax.jit
@@ -442,6 +467,7 @@ class KinectFusion:
         self.rmse = 0.0
         self._step = None  # lazily-built one-jit frame step (separable)
         self._seq_run = None  # lazily-built whole-sequence scan runner
+        self._seq_axis = None  # static sweep axis the runner was built with
 
     def _fresh_volumes(self, bb, cbb=None, shape=None):
         """(NaN-reset TSDF, 0.5-reset colour volume or None), z-sharded when
@@ -544,9 +570,20 @@ class KinectFusion:
                              "use_colour=False — they would be ignored")
         depths = jnp.asarray(depths)
         n = depths.shape[0]
-        if self._seq_run is None:
+        # the scan needs a STATIC sweep axis (make_sequence_runner docstring)
+        # — pick the dominant view axis of the seed pose host-side; when the
+        # whole sequence keeps that dominant axis (the common case for a
+        # replay chunk) this is bit-identical to per-frame 'auto'. The
+        # sharded step sweeps the sharded z axis regardless.
+        from ..fusion.separable import _view_axis_index
+
+        axis = 0 if self.mesh is not None else int(
+            _view_axis_index(se3.inverse(jnp.asarray(self.T_wl))))
+        if self._seq_run is None or self._seq_axis != axis:
             self._seq_run = make_sequence_runner(self.K, cfg, self.trunc_dist,
-                                                 mesh=self.mesh)
+                                                 mesh=self.mesh,
+                                                 sweep_axis=axis)
+            self._seq_axis = axis
         was_first = self.frame == 0
         firsts = (jnp.arange(n) == 0) & jnp.asarray(was_first)
         if cfg.use_colour:

@@ -191,6 +191,45 @@ class TestKinectFusionApp:
         np.testing.assert_allclose(np.asarray(poses2[-1]),
                                    np.asarray(poses[-1]), atol=0.05)
 
+    def test_run_sequence_picks_nonz_sweep_axis(self):
+        """A sequence whose cameras look along world x must pin the x sweep
+        (static axis, make_sequence_runner docstring) and still track like
+        the per-frame 'auto'-axis loop — when every pose shares the
+        dominant axis the pinned scan runs the same branch per frame."""
+        import numpy as _np
+
+        from kangaroo_tpu.fusion.separable import _view_axis_index
+
+        W, H = 64, 48
+        K = kt.Intrinsics.centered(55.0, W, H)
+        mk = lambda: kf.KinectFusion(K, kf.KinectFusionConfig(
+            w=W, h=H, vol_res=48, vol_extent=1.2, max_levels=2, its=(2, 2),
+            near=0.5, far=6.0, max_rmse=0.3, bilateral_minval=0.2,
+        ))
+        scene = synthetic.sphere_scene(res=64)
+        from kangaroo_tpu.fusion import raycast as rc
+
+        frames = []
+        for i in range(3):
+            T_wc = jnp.asarray(synthetic.orbit_pose(_np.pi / 2 + i * 0.015))
+            d, _, _ = rc.raycast_sdf(scene, T_wc, K, W, H, near=0.5, far=8.0)
+            frames.append((T_wc, jnp.where(jnp.isfinite(d), d, 0.0)))
+        assert int(_view_axis_index(se3.inverse(frames[0][0]))) == 2
+
+        loop = mk()
+        loop.T_wl = frames[0][0]
+        for _, d in frames:
+            loop.process_frame(d)
+
+        seq = mk()
+        seq.T_wl = frames[0][0]
+        poses, _ = seq.run_sequence(jnp.stack([d for _, d in frames]))
+        assert seq._seq_axis == 2
+        np.testing.assert_allclose(np.asarray(poses[-1]),
+                                   np.asarray(loop.T_wl), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(seq.vol.weight),
+                                   np.asarray(loop.vol.weight), atol=1e-3)
+
     def test_colour_one_jit_frame_tracks_and_fuses(self):
         """With use_colour and an rgb frame, process_frame takes the one-jit
         path (colour volume fused in the same jit as tracking, like
