@@ -27,7 +27,7 @@ def __getattr__(name):
     import importlib
 
     if name in {"stereo", "fusion", "variational", "geometry", "solvers",
-                "parallel", "apps", "ops", "io", "utils", "backend"}:
+                "parallel", "apps", "ops", "io", "utils", "backend", "roo"}:
         return importlib.import_module(f".{name}", __name__)
     raise AttributeError(name)
 

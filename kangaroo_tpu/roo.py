@@ -1,0 +1,178 @@
+"""Reference-namespace shim: arpg/Kangaroo's `roo::` API by its own names.
+
+A migration aid for users of the CUDA reference: every public kernel
+entry point from include/kangaroo/kangaroo.h's headers is re-exported
+here under its reference name, bound to the TPU-native implementation.
+`import kangaroo_tpu.roo as roo; roo.GaussianBlur(img, sigma)` works the
+way `roo::GaussianBlur(out, img, temp)` did, with the API differences the
+framework makes everywhere (docs/PARITY.md has the per-component map):
+
+- images/volumes are plain jnp arrays `(H, W[, C])` / `(D, H, W)` passed
+  by value and RETURNED, never written through out-params or pitched
+  `Image<T>` views; intensity images are float32 in [0, 1];
+- TSDF state is the `TsdfVolume` pytree (`SdfReset` creates-or-clears it);
+- pose refinement builders return the reduced `LSS` system (the reference
+  reduced `LeastSquaresSystem` on the host afterwards — here the MXU
+  reduction is inside);
+- there are no `<<<grid, block>>>` / stream arguments; everything is
+  jittable and differentiable.
+
+Names that were C++ template/overload families map to the richest
+equivalent (e.g. `Census` takes `window='9x7'|'11x11'|'16x16'`;
+`BilateralFilter` is the base overload — the `above_min` and cross-guide
+overloads live next to it in `kangaroo_tpu.ops.bilateral`). Pixel-format
+conversions (`ConvertImage<To, From>`) are the functions in
+`kangaroo_tpu.ops.convert`. The test suite imports every name below and
+smoke-runs representative ones (tests/test_roo_shim.py).
+"""
+
+from __future__ import annotations
+
+# --- cu_blur.h / cu_bilateral.h / cu_median.h / cu_convolution.h ---
+from .ops.blur import blur as Blur, gaussian_blur as GaussianBlur
+from .ops.bilateral import bilateral as BilateralFilter
+from .ops.median import (
+    median_filter_3x3 as MedianFilter3x3,
+    median_filter_5x5 as MedianFilter5x5,
+    median_filter_reject_negative_5x5 as MedianFilterRejectNegative5x5,
+    median_filter_reject_negative_7x7 as MedianFilterRejectNegative7x7,
+    median_filter_reject_negative_9x9 as MedianFilterRejectNegative9x9,
+)
+from .ops.convolution import convolve as Convolution
+
+# --- cu_integral_image.h ---
+from .ops.integral_image import (
+    prefix_sum_rows as PrefixSumRows,
+    transpose as Transpose,
+    box_filter as BoxFilter,
+    box_filter_integral_image as BoxFilterIntegralImage,
+    mean_variance as ComputeMeanVarience,  # reference's spelling
+)
+
+# --- cu_operations.h ---
+from .ops.elementwise import (
+    fill as Fill,
+    scale_bias as ElementwiseScaleBias,
+    add as ElementwiseAdd,
+    multiply as ElementwiseMultiply,
+    divide as ElementwiseDivision,
+    square as ElementwiseSquare,
+    multiply_add as ElementwiseMultiplyAdd,
+    image_l1 as ImageL1,
+)
+
+# --- cu_lookup_warp.h / cu_anaglyph.h / cu_painting.h / cu_remap.h ---
+from .ops.warp import (
+    create_matlab_lookup_table as CreateMatlabLookupTable,
+    warp as Warp,
+)
+from .ops.viz import (
+    make_anaglyph as MakeAnaglyth,  # reference's spelling
+    paint_circle as PaintCircle,
+    remap_heat as Remap,
+    disparity_cross_section as DisparityImageCrossSection,
+)
+
+# --- cu_segment_test.h ---
+from .ops.features import (
+    segment_test as SegmentTest,
+    harris_score as HarrisScore,
+    non_maximal_suppression as NonMaximalSuppression,
+)
+
+# --- cu_census.h ---
+from .stereo.census import (
+    census as Census,
+    census_stereo as CensusStereo,
+    census_cost_volume as CensusStereoVolume,
+)
+
+# --- cu_dense_stereo.h ---
+from .stereo.costvolume import (
+    cost_vol_minimum as CostVolMinimum,
+    cost_vol_minimum_subpix as CostVolMinimumSubpix,
+    cost_vol_minimum_square_penalty_subpix as CostVolMinimumSquarePenaltySubpix,
+    exponential_edge_weight as ExponentialEdgeWeight,
+    left_right_check as LeftRightCheck,
+    filter_disp_grad as FilterDispGrad,
+    cost_volume_zero as CostVolumeZero,
+    cost_volume_from_stereo as CostVolumeFromStereo,
+    cost_volume_add as CostVolumeAdd,
+    cost_volume_from_stereo_truncated_abs_and_grad
+        as CostVolumeFromStereoTruncatedAbsAndGrad,
+)
+from .stereo.dense_stereo import (
+    dense_stereo as DenseStereo,
+    dense_stereo_subpixel_refine as DenseStereoSubpixelRefine,
+)
+
+# --- cu_semi_global_matching.h ---
+from .stereo.sgm import semi_global_matching as SemiGlobalMatching
+
+# --- cu_depth_tools.h / cu_normals.h ---
+from .geometry.depth import (
+    disp_to_depth as Disp2Depth,
+    depth_from_disparity_vbo as DisparityImageToVbo,
+    filter_bad_kinect_data as FilterBadKinectData,
+    depth_to_vbo as DepthToVbo,
+    colour_vbo as ColourVbo,
+    normals_from_vbo as NormalsFromVbo,
+    texture_depth as TextureDepth,
+)
+
+# --- cu_sdffusion.h / cu_raycast.h ---
+from .fusion.sdf import (
+    sdf_fuse as SdfFuse,
+    sdf_reset as SdfReset,
+    sdf_sphere as SdfSphere,
+    sdf_distance as SdfDistance,
+)
+from .fusion.raycast import (
+    raycast_sdf as RaycastSdf,
+    raycast_box as RaycastBox,
+    raycast_sphere as RaycastSphere,
+    raycast_plane as RaycastPlane,
+)
+
+# --- cu_model_refinement.h / cu_plane_fit.h / cu_manhattan.h ---
+from .solvers.photometric import (
+    pose_refinement_from_points as PoseRefinementFromVbo,
+    pose_refinement_from_disparity as PoseRefinementFromDisparity,
+    pose_refinement_from_disparity_esm as PoseRefinementFromDisparityESM,
+    pose_refinement_from_depth_esm as PoseRefinementFromDepthESM,
+)
+from .solvers.icp import icp_point_plane as PoseRefinementProjectiveIcpPointPlane
+from .solvers.calibration import (
+    calibration_rgbd_from_depth_esm as CalibrationRgbdFromDepthESM,
+    kinect_calibration as KinectCalibration,
+)
+from .solvers.plane_fit import plane_fit_gn as PlaneFitGN
+from .solvers.manhattan import manhattan_line_cost as ManhattanLineCost
+
+# --- cu_heightmap.h / cu_index_buffer.h ---
+from .geometry.heightmap import (
+    init_heightmap as InitHeightMap,
+    update_heightmap as UpdateHeightMap,
+    vbo_from_heightmap as VboFromHeightMap,
+    vbo_world_from_heightmap as VboWorldFromHeightMap,
+    colour_heightmap as ColourHeightMap,
+    generate_world_vbo_and_image as GenerateWorldVboAndImageFromHeightmap,
+    triangle_strip_index_buffer as GenerateTriangleStripIndexBuffer,
+)
+
+# --- cu_rof_denoising.h / cu_tgv.h / cu_deconvolution.h ---
+from .variational.ops import grad_forward as GradU, divergence as Divergence
+from .variational.rof import (
+    tvl1_dual_ascent_p as TVL1GradU_DualAscentP,
+    huber_dual_ascent_p as HuberGradU_DualAscentP,
+    weighted_huber_dual_ascent_p as WeightedHuberGradU_DualAscentP,
+    l2_primal_descent as L2_u_minus_g_PrimalDescent,
+    weighted_l2_primal_descent as WeightedL2_u_minus_g_PrimalDescent,
+)
+from .variational.tgv import iteration as TGV_L1_DenoisingIteration
+from .variational.deconvolution import (
+    dual_q_ascent as DeconvolutionDual_qAscent,
+    primal_u_descent as Deconvolution_uDescent,
+)
+
+__all__ = [n for n in dir() if n[0].isupper()]
