@@ -73,6 +73,24 @@ from .ops.viz import (
     disparity_cross_section as DisparityImageCrossSection,
 )
 
+# --- cu_resample.h / reduce.h ---
+from .ops.resample import (
+    resample as Resample,
+    box_half as BoxHalf,
+    box_half_ignore_invalid as BoxHalfIgnoreInvalid,
+)
+from .containers.pyramid import (
+    box_reduce as BoxReduce,
+    box_reduce_ignore_invalid as BoxReduceIgnoreInvalid,
+    blur_reduce as BlurReduce,
+)
+
+# --- cu_integral_image.h (statistics + guided filter) ---
+from .ops.integral_image import (
+    covariance as ComputeCovariance,
+    guided_filter as GuidedFilter,
+)
+
 # --- cu_segment_test.h ---
 from .ops.features import (
     segment_test as SegmentTest,
@@ -105,6 +123,7 @@ from .stereo.dense_stereo import (
     dense_stereo as DenseStereo,
     dense_stereo_subpixel_refine as DenseStereoSubpixelRefine,
 )
+from .ops.viz import disparity_cross_section as CostVolumeCrossSection
 
 # --- cu_semi_global_matching.h ---
 from .stereo.sgm import semi_global_matching as SemiGlobalMatching
@@ -174,5 +193,67 @@ from .variational.deconvolution import (
     dual_q_ascent as DeconvolutionDual_qAscent,
     primal_u_descent as Deconvolution_uDescent,
 )
+
+# --- overload families / demo entry points that need a small adapter ---
+
+
+def ConvertImage(img, to: str, **kw):
+    """ConvertPixel<To, Ti> dispatcher (cu_convert.cu:14-44). ``to`` selects
+    the target family: 'gray', 'rgb', 'rgba', 'float', 'uint8'. The source
+    format is inferred from the array rank/dtype, mirroring how the C++
+    template pair <To, Ti> picked the conversion."""
+    from .ops import convert as _cv
+
+    gray = img.ndim == 2
+    if to == "gray":
+        return img if gray else _cv.rgb_to_gray(img)
+    if to == "rgb":
+        if gray:
+            return _cv.gray_to_rgb(img)
+        return _cv.rgba_to_rgb(img) if img.shape[-1] == 4 else img
+    if to == "rgba":
+        if gray:
+            return _cv.gray_to_rgba(img, **kw)
+        return img if img.shape[-1] == 4 else _cv.rgb_to_rgba(img, **kw)
+    if to == "float":
+        return _cv.to_float(img, **kw)
+    if to == "uint8":
+        return _cv.to_uint8(img, **kw)
+    raise ValueError(f"unknown target format {to!r}")
+
+
+def DenseStereoTest(left, right, max_disp: int, rad: int = 3):
+    """The reference's shared-memory SAD WTA demo kernel (DenseStereoTest,
+    cu_dense_stereo.cu:451-506) — plain SAD patch-match WTA here."""
+    return DenseStereo(left, right, max_disp, rad=rad, kind="sad")
+
+
+def DenseStereoSubpix(left, right, max_disp: int, rad: int = 1,
+                      kind: str = "sand", accept_thresh=0.0):
+    """Integer WTA + parabola refinement in one call. The reference declares
+    this (cu_dense_stereo.h) but its kernel body is commented out
+    (cu_dense_stereo.cu:407-446); this composes the two live ops the way the
+    gutted kernel intended."""
+    d = DenseStereo(left, right, max_disp, rad=rad, kind=kind,
+                    accept_thresh=accept_thresh)
+    return DenseStereoSubpixelRefine(d.astype("float32"), left, right,
+                                     rad=rad, kind=kind)
+
+
+def SumSpeedTest(J, y, w=None, valid=None):
+    """LeastSquaresSystem reduction benchmark entry (SumSpeedTest,
+    cu_model_refinement.cu:708-733; timed by CudaSumSpeed.cpp:26-35).
+    Reduces per-pixel (J, y) into the 6-dof normal equations — two MXU
+    matmuls here (see examples/sum_speed_demo.py for the timed harness)."""
+    import jax.numpy as jnp
+
+    from .solvers.lss import reduce_system
+
+    if w is None:
+        w = jnp.ones(y.shape, jnp.float32)
+    if valid is None:
+        valid = jnp.ones(y.shape, bool)
+    return reduce_system(J, y, w, valid)
+
 
 __all__ = [n for n in dir() if n[0].isupper()]

@@ -30,8 +30,35 @@ class TestNamespace:
             "ManhattanLineCost", "UpdateHeightMap",
             "GenerateTriangleStripIndexBuffer", "GradU",
             "TGV_L1_DenoisingIteration", "DeconvolutionDual_qAscent",
+            # round-3 completions: resample/reduce.h family, guided-filter
+            # statistics, conversion dispatcher, demo/benchmark entries
+            "Resample", "BoxHalf", "BoxHalfIgnoreInvalid", "BoxReduce",
+            "BoxReduceIgnoreInvalid", "BlurReduce", "ComputeCovariance",
+            "GuidedFilter", "ConvertImage", "CostVolumeCrossSection",
+            "DenseStereoTest", "DenseStereoSubpix", "SumSpeedTest",
         ]:
             assert hasattr(roo, name), name
+
+    def test_covers_every_reference_header_export(self):
+        """Every host-callable function name declared in the reference's
+        cu_*.h / reduce.h headers resolves in the shim (the full kangaroo.h
+        surface, SURVEY.md §2.3)."""
+        import re
+        from pathlib import Path
+
+        ref = Path("/root/reference/include/kangaroo")
+        if not ref.is_dir():
+            import pytest
+
+            pytest.skip("reference tree not available")
+        pat = re.compile(
+            r"\b(?:void|float|bool|int|double|LeastSquaresSystem<[^>]*>|"
+            r"Mat<[^>]*>)\s+([A-Z][A-Za-z0-9_]*)\s*\(")
+        names = set()
+        for h in list(ref.glob("cu_*.h")) + [ref / "reduce.h"]:
+            names |= set(pat.findall(h.read_text(errors="ignore")))
+        missing = sorted(n for n in names if not hasattr(roo, n))
+        assert not missing, f"reference names missing from shim: {missing}"
 
 
 class TestRepresentativeCalls:
@@ -70,6 +97,37 @@ class TestRepresentativeCalls:
         lhs = (roo.GradU(u) * jnp.asarray(p)).sum()
         rhs = -(u * roo.Divergence(jnp.asarray(p))).sum()
         assert np.allclose(lhs, rhs, atol=1e-4)
+
+    def test_resample_and_convert(self, rng):
+        img = jnp.asarray(rng.random((16, 24), np.float32))
+        assert roo.BoxHalf(img).shape == (8, 12)
+        assert roo.Resample(img, 12, 8).shape == (8, 12)
+        pyr = roo.BoxReduce(img, 3)
+        assert pyr[2].shape == (4, 6)
+        rgb = roo.ConvertImage(img, "rgb")
+        assert rgb.shape == (16, 24, 3)
+        assert np.allclose(roo.ConvertImage(rgb, "gray"), img, atol=1e-6)
+        u8 = roo.ConvertImage(img, "uint8")
+        assert u8.dtype == jnp.uint8
+        assert roo.ConvertImage(u8, "float").dtype == jnp.float32
+
+    def test_dense_stereo_wrappers(self, rng):
+        right = jnp.asarray(rng.random((20, 40)).astype(np.float32))
+        left = jnp.roll(right, 3, axis=1)
+        d = roo.DenseStereoTest(left, right, 6, rad=1)
+        inner = np.asarray(d)[6:14, 12:32]
+        assert np.median(inner[inner >= 0]) == 3
+        ds = roo.DenseStereoSubpix(left, right, 6)
+        good = np.asarray(ds)[6:14, 12:32]
+        # the parabola rescores with interpolated taps, so refinement jitters
+        # around the integer optimum rather than landing exactly on it
+        assert abs(np.nanmedian(good) - 3.0) < 0.05
+
+    def test_sum_speed_entry(self, rng):
+        J = jnp.asarray(rng.random((8, 8, 6), np.float32))
+        y = jnp.asarray(rng.random((8, 8), np.float32))
+        s = roo.SumSpeedTest(J, y)
+        assert s.JTJ.shape == (6, 6) and float(s.obs) == 64.0
 
     def test_depth_tools(self):
         disp = jnp.full((4, 4), 2.0, jnp.float32)
