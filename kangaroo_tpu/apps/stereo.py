@@ -161,18 +161,32 @@ def postprocess(disp_l, disp_r, cfg: StereoConfig):
 
 
 def stereo_pipeline(left, right, cfg: StereoConfig = StereoConfig(),
-                    use_dtam: bool = True):
+                    use_dtam: bool = True, mesh=None):
     """Full frame: preprocess -> volume -> (guided filter) -> WTA or DTAM
     -> post (main.cpp:280-474). Census, the edge weight and the
     trunc-abs-grad costs all see the preprocessed [0,1] (optionally
-    zero-mean) intensities, like the reference's img[] pyramid."""
+    zero-mean) intensities, like the reference's img[] pyramid.
+
+    With ``mesh`` the DTAM alternation runs multi-chip with the cost
+    volume's disparity axis sharded (parallel/sharding.py
+    ``sharded_dtam_solve`` — the image-space half-steps replicate, the
+    auxiliary exhaustive sweep is D-parallel); the image-sized front/back
+    ends stay replicated like the sibling apps' mesh modes."""
     left_p = preprocess_intensity(left, cfg)
     right_p = preprocess_intensity(right, cfg)
     vol_l = cost_volume(left_p, right_p, cfg, -1)
     if cfg.filter_volume:
         vol_l = ii.guided_filter_volume(vol_l, left_p, cfg.filter_rad,
                                         cfg.filter_eps)
-    if use_dtam:
+    if use_dtam and mesh is not None:
+        from ..parallel import sharding
+
+        disp_l = sharding.sharded_dtam_solve(
+            vol_l, left_p, cfg.lam, cfg.theta_start, cfg.sigma_q, cfg.sigma_d,
+            cfg.huber_alpha, cfg.beta, cfg.g_alpha, cfg.g_beta, mesh,
+            iterations=cfg.dtam_iterations,
+        )
+    elif use_dtam:
         disp_l = dtam_solve(
             vol_l, left_p, cfg.lam, cfg.theta_start, cfg.sigma_q, cfg.sigma_d,
             cfg.huber_alpha, cfg.beta, cfg.g_alpha, cfg.g_beta,

@@ -31,18 +31,37 @@ def _box_sum(img, rad: int):
     return s[:, k:] - s[:, :-k]
 
 
+def _line_sum(img, rad: int):
+    """Sum over the horizontal (2rad+1)-wide line, edge-clamped."""
+    k = 2 * rad + 1
+    p = jnp.pad(img, ((0, 0), (rad, rad)), mode="edge")
+    s = jnp.cumsum(jnp.pad(p, ((0, 0), (1, 0))), axis=1)
+    return s[:, k:] - s[:, :-k]
+
+
 @functools.partial(jax.jit, static_argnames=("dx", "rad", "kind"))
 def score_shifted(img1, img2, dx: int, rad: int = 1, kind: str = "sad"):
     """Per-pixel patch score of img1 at (x, y) vs img2 at (x + dx, y).
 
     kind: 'pixel' (SinglePixelSq), 'sad', 'ssd', 'sand' (zero-mean SAD),
-    'ssnd' (zero-mean SSD). patch_score.h:82-298.
+    'ssnd' (zero-mean SSD), 'ssnd_line' (SSND over the 1-row line).
+    patch_score.h:82-298.
     """
     a = img1.astype(jnp.float32)
     b = _shift_x(img2.astype(jnp.float32), dx)
     if kind == "pixel":
         d = a - b
         return d * d
+    if kind == "ssnd_line":
+        # SSNDLineScore (patch_score.h:211-255): the SSND arithmetic over a
+        # height-1 line, but keeping the SQUARE patch count n = w*w as the
+        # mean normaliser (the reference reuses the patch formula verbatim).
+        # The quadratic expands exactly to sum(d^2) - sum(d)^2 / n with
+        # d = a - b; we reproduce the n = w^2 quirk bit-for-bit.
+        n = float((2 * rad + 1) ** 2)
+        d = a - b
+        sd = _line_sum(d, rad)
+        return _line_sum(d * d, rad) - sd * sd / n
     area = float((2 * rad + 1) ** 2)
     if kind in ("sand", "ssnd"):
         # zero-mean scores subtract each CENTRE patch's mean from its pixels

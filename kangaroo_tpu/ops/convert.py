@@ -40,15 +40,24 @@ def rgba_to_rgb(img):
 
 
 def to_float(img, scale=None):
-    """Integer image -> float32; uint8 scaled to [0, 1] when scale is None."""
+    """Integer image -> float32; uint8 scaled to [0, 1] when scale is None.
+    Float inputs pass through unscaled (ConvertPixel float->float is the
+    identity, pixel_convert.h:8-13)."""
     if scale is None:
-        scale = 1.0 / 255.0 if img.dtype == jnp.uint8 else 1.0
+        scale = (1.0 / 255.0
+                 if jnp.issubdtype(jnp.asarray(img).dtype, jnp.integer)
+                 else 1.0)
     return img.astype(jnp.float32) * scale
 
 
 def to_uint8(img, scale=None):
     """float -> uint8 with saturation (ConvertPixel float->uchar truncates;
-    we clamp, which only differs on out-of-range inputs)."""
+    we clamp, which only differs on out-of-range inputs). uchar input is the
+    identity like the reference's uchar->uchar ConvertPixel — NOT another
+    x255 scale."""
+    img = jnp.asarray(img)
+    if img.dtype == jnp.uint8:
+        return img
     if scale is None:
-        scale = 255.0
+        scale = 255.0 if not jnp.issubdtype(img.dtype, jnp.integer) else 1.0
     return jnp.clip(img * scale, 0, 255).astype(jnp.uint8)

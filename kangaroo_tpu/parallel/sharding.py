@@ -134,6 +134,164 @@ def sharded_census_wta(left_img, right_img, max_disp: int, mesh,
 
 
 # --------------------------------------------------------------------------
+# Disparity-sharded DTAM variational stereo
+# --------------------------------------------------------------------------
+
+
+def _dtam_slab_wta(vol_ext, d0_base, last_disp, lam, inv2theta, sd: int,
+                   D: int):
+    """Local square-penalty WTA over one disparity slab.
+
+    ``vol_ext`` is (dper + 2, H, W): the shard's slab with a one-plane halo
+    on each side (edge shards replicate their boundary plane), so the
+    parabola neighbours clamp(bestd +- 1, 0, D-1) are always local reads.
+    With ``inv2theta = 0, lam = 1`` this degrades exactly to the plain
+    subpixel WTA (CostVolMinimumSubpix) arithmetic. Returns the local
+    (bestc, bestd_global_f32, vl, vr) images.
+    """
+    dper = vol_ext.shape[0] - 2
+    slab = vol_ext[1:-1]
+    H, W = slab.shape[1:]
+    dglob = d0_base + jnp.arange(dper, dtype=jnp.float32)[:, None, None]
+    cost = inv2theta * (last_disp[None] - dglob) ** 2 + lam * slab
+    x = jnp.arange(W)[None, None, :]
+    ok = (x + sd * dglob >= 0) & (x + sd * dglob < W)
+    masked = jnp.where(ok, cost, 1e10)
+    ibest = jnp.argmin(masked, axis=0)
+    bestc = jnp.min(masked, axis=0)
+    # ext[k] = vol[d0_base - 1 + k] with the global edges clamped by the
+    # halo replication, so ext[ibest] IS vol[clip(bestd-1, 0)] and
+    # ext[ibest + 2] IS vol[clip(bestd+1, D-1)]
+    vl = jnp.take_along_axis(vol_ext, ibest[None], axis=0)[0]
+    vr = jnp.take_along_axis(vol_ext, ibest[None] + 2, axis=0)[0]
+    bestd = d0_base + ibest.astype(jnp.float32)
+    return bestc, bestd, vl, vr
+
+
+def _dtam_wta_combine(bestc, bestd, vl, vr, last_disp, lam, inv2theta,
+                      sd: int, D: int, W: int):
+    """Cross-shard argmin + the single-device subpixel refinement.
+
+    The global minimum is a ``pmin``; the smallest-shard tie-break equals
+    the single-device argmin's first-occurrence (= smallest d) tie-break
+    because slabs own ascending disparity ranges. Payloads (bestd, vl, vr)
+    ride a winner-masked psum. The parabola and validity masks then follow
+    costvolume.cost_vol_minimum_square_penalty_subpix verbatim.
+    """
+    shard = jax.lax.axis_index(AXIS)
+    nsh = jax.lax.axis_size(AXIS)
+    best_all = jax.lax.pmin(bestc, AXIS)
+    mine = bestc == best_all
+    win = jax.lax.pmin(jnp.where(mine, shard, nsh), AXIS)
+    winner = mine & (shard == win)
+
+    def pick(v):
+        return jax.lax.psum(jnp.where(winner, v, 0.0), AXIS)
+
+    bestd = pick(bestd)
+    vl = pick(vl)
+    vr = pick(vr)
+    dl = bestd - 1.0
+    dr = bestd + 1.0
+    cl = inv2theta * (last_disp - dl) ** 2 + lam * vl
+    cr = inv2theta * (last_disp - dr) ** 2 + lam * vr
+    subpix = bestd - (cr - cl) / (2.0 * (cr - 2.0 * best_all + cl))
+    x = jnp.arange(W, dtype=jnp.float32)[None, :]
+    bestxr = x + sd * bestd
+    interior = (bestxr > 0) & (bestxr < W - 1)
+    sensible = (subpix > dl) & (subpix < dr)
+    return jnp.where(interior & sensible, subpix, bestd)
+
+
+def sharded_dtam_solve(vol, img_left, lam, theta_start, sigma_q, sigma_d,
+                       huber_alpha, beta, g_alpha, g_beta, mesh,
+                       iterations: int = 80, sd: int = -1):
+    """The DTAM primal-dual/exhaustive-search alternation
+    (applications/stereo/main.cpp:368-383) with the cost volume's
+    **disparity axis sharded** over the mesh — SURVEY.md §2.4's 'shard the
+    disparity axis of the cost volume for stereo' for the variational app.
+
+    Per iteration the image-space half-steps (WeightedHuberGradU_DualAscentP
+    + WeightedL2_u_minus_g_PrimalDescent, cu_rof_denoising.cu:114-141,
+    211-236) are (H, W) stencils — they run replicated on every shard (the
+    cost of ~10 VGA planes is negligible next to the volume sweep and saves
+    a broadcast). The auxiliary exhaustive search
+    (CostVolMinimumSquarePenaltySubpix, cu_dense_stereo.cu:123-174) — the
+    framework's single-chip compute floor (docs/PERF.md) — is where the
+    FLOPs are, and it is embarrassingly D-parallel: each shard sweeps its
+    disparity slab locally and the global WTA is one pmin + three
+    winner-masked psums of (H, W) images per iteration. The one-plane
+    disparity halo for the subpixel parabola is exchanged ONCE before the
+    loop (ppermute).
+
+    Bit-equal to the single-device ``apps.stereo.dtam_solve`` XLA twin
+    (same arithmetic, same tie-breaks — tests/test_parallel.py).
+
+    ``vol`` is (D, H, W) replicated or D-sharded; returns the refined
+    (H, W) disparity, replicated.
+    """
+    from ..stereo import costvolume as cv_mod
+    from ..variational import rof as rof_mod
+
+    D, H, W = vol.shape
+    n = mesh.devices.size
+    assert D % n == 0, "disparity planes must divide the mesh"
+    dper = D // n
+
+    g_img = img_left.astype(jnp.float32)
+    if jnp.issubdtype(jnp.asarray(img_left).dtype, jnp.integer):
+        g_img = g_img / 255.0
+    g = cv_mod.exponential_edge_weight(g_img, g_alpha, g_beta)
+
+    def local(v_slab, g_rep):
+        shard = jax.lax.axis_index(AXIS)
+        nsh = jax.lax.axis_size(AXIS)
+        v32 = v_slab.astype(jnp.float32)
+        d0_base = (shard * dper).astype(jnp.float32)
+        # one-plane halo each side; edge shards replicate their boundary
+        # plane so clamp(bestd-1, 0) / clamp(bestd+1, D-1) read in-slab
+        from_prev = jax.lax.ppermute(
+            v32[-1:], AXIS, [(i, (i + 1) % nsh) for i in range(nsh)])
+        from_next = jax.lax.ppermute(
+            v32[:1], AXIS, [(i, (i - 1) % nsh) for i in range(nsh)])
+        lo = jnp.where(shard == 0, v32[:1], from_prev)
+        hi = jnp.where(shard == nsh - 1, v32[-1:], from_next)
+        v_ext = jnp.concatenate([lo, v32, hi], axis=0)
+
+        def wta(last_disp, lam_v, inv2theta):
+            parts = _dtam_slab_wta(v_ext, d0_base, last_disp, lam_v,
+                                   inv2theta, sd, D)
+            return _dtam_wta_combine(*parts, last_disp, lam_v, inv2theta,
+                                     sd, D, W)
+
+        zero = jnp.zeros((H, W), jnp.float32)
+        d0 = wta(zero, 1.0, 0.0)  # == cost_vol_minimum_subpix
+
+        def body(it, carry):
+            dcur, a, q, theta = carry
+            q = rof_mod.weighted_huber_dual_ascent_p(q, dcur, g_rep, sigma_q,
+                                                     huber_alpha)
+            dcur = rof_mod.weighted_l2_primal_descent(dcur, q, a, g_rep,
+                                                      sigma_d, 1.0 / theta)
+            a = wta(dcur, lam, 0.5 / theta)
+            theta = theta * (1.0 - beta * (it + 1.0))
+            return dcur, a, q, theta
+
+        q0 = jnp.zeros((H, W, 2), jnp.float32)
+        dfin, _, _, _ = jax.lax.fori_loop(
+            0, iterations, body, (d0, d0, q0, jnp.float32(theta_start)))
+        return dfin
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(AXIS, None, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return f(vol, g)
+
+
+# --------------------------------------------------------------------------
 # Voxel-z-sharded TSDF fusion + raycast
 # --------------------------------------------------------------------------
 

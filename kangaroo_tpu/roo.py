@@ -123,7 +123,9 @@ from .stereo.dense_stereo import (
     dense_stereo as DenseStereo,
     dense_stereo_subpixel_refine as DenseStereoSubpixelRefine,
 )
-from .ops.viz import disparity_cross_section as CostVolumeCrossSection
+# CostVolumeCrossSection is a dedicated adapter below (the reference takes
+# (dScore, dCostVol, y) with CostVolElem normalisation, cu_dense_stereo.cu:783
+# — NOT the disparity-marking DisparityImageCrossSection signature).
 
 # --- cu_semi_global_matching.h ---
 from .stereo.sgm import semi_global_matching as SemiGlobalMatching
@@ -220,6 +222,23 @@ def ConvertImage(img, to: str, **kw):
     if to == "uint8":
         return _cv.to_uint8(img, **kw)
     raise ValueError(f"unknown target format {to!r}")
+
+
+def CostVolumeCrossSection(vol, y: int):
+    """Normalised cost-volume slice at row ``y`` (KernCostVolumeCrossSection,
+    cu_dense_stereo.cu:767-789): score = (sum / n) / 255 per (d, x) element
+    of a CostVolElem volume. ``vol`` is the (n, s) accumulator pair from
+    ``CostVolumeZero``/``CostVolumeAdd``, or a plain float (D, H, W) volume
+    (then only the /255 viz scaling applies). Unvisited elements (n == 0)
+    render as NaN (InvalidValue<float>). Returns the (D, W) score image."""
+    import jax.numpy as jnp
+
+    if isinstance(vol, (tuple, list)):
+        n, s = vol
+        sl_n = n[:, y, :].astype(jnp.float32)
+        sl_s = s[:, y, :].astype(jnp.float32)
+        return jnp.where(sl_n > 0, (sl_s / sl_n) / 255.0, jnp.nan)
+    return vol[:, y, :].astype(jnp.float32) / 255.0
 
 
 def DenseStereoTest(left, right, max_disp: int, rad: int = 3):

@@ -40,6 +40,33 @@ class TestPatchScore:
         s = np.asarray(patch_score.score_shifted(jnp.asarray(a), jnp.asarray(b), 0, 0, "pixel"))
         np.testing.assert_allclose(s, (a - b) ** 2, rtol=1e-5)
 
+    def test_ssnd_line_matches_reference_formula(self, rng):
+        # SSNDLineScore (patch_score.h:211-255): the SSND quadratic over a
+        # 1-row line with the reference's n = w*w normaliser quirk kept.
+        a = rng.random((10, 16)).astype(np.float32)
+        b = rng.random((10, 16)).astype(np.float32)
+        rad = 2
+        s = np.asarray(patch_score.score_shifted(
+            jnp.asarray(a), jnp.asarray(b), 0, rad, "ssnd_line"))
+        y, x = 5, 8
+        w = 2 * rad + 1
+        n = float(w * w)
+        xs = a[y, x - rad:x + rad + 1].astype(np.float64)
+        ys = b[y, x - rad:x + rad + 1].astype(np.float64)
+        sxi, syi = xs.sum(), ys.sum()
+        sxi2, syi2, sxiyi = (xs * xs).sum(), (ys * ys).sum(), (xs * ys).sum()
+        mx, my = sxi / n, syi / n
+        manual = (sxi2 - 2 * mx * sxi + n * mx * mx
+                  + 2 * (-sxiyi + my * sxi + mx * syi - n * mx * my)
+                  + syi2 - 2 * my * syi + n * my * my)
+        assert s[y, x] == pytest.approx(manual, rel=1e-4, abs=1e-5)
+        # a constant-bias partner is NOT fully cancelled under the n = w^2
+        # quirk (only w/n of the bias is removed) — unlike true zero-mean
+        sb = np.asarray(patch_score.score_shifted(
+            jnp.asarray(a), jnp.asarray(a + 10.0), 0, rad, "ssnd_line"))
+        expect = w * 10.0 ** 2 - (w * 10.0) ** 2 / n
+        assert sb[5, 8] == pytest.approx(expect, rel=1e-4)
+
 
 class TestDenseStereo:
     def test_recovers_disparity(self):

@@ -379,6 +379,73 @@ class TestShardedSgmTail:
         assert (nan | (got == want)).all()
 
 
+class TestShardedDtam:
+    """Disparity-sharded DTAM alternation (sharding.sharded_dtam_solve):
+    bit-equal to the single-device XLA twin (apps.stereo.dtam_solve's
+    fori_loop body) — same arithmetic, same argmin tie-breaks."""
+
+    def test_matches_single_device(self, mesh, rng):
+        from kangaroo_tpu.apps import stereo as stereo_app
+        from kangaroo_tpu.stereo import costvolume as cvm
+        from kangaroo_tpu.variational import rof as rof_mod
+
+        D, H, W = 16, 24, 40
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        lam, theta0 = 20.0, 100.0
+        sq, sd_, alpha, beta = 0.7, 0.7, 0.002, 1e-5
+        ga, gb = 14.0, 2.5
+        iters = 12
+
+        # single-device twin, spelled out (the app may dispatch to the
+        # Pallas whole-VMEM kernel; the sharded path mirrors the XLA loop)
+        g = cvm.exponential_edge_weight(img, ga, gb)
+        d = cvm.cost_vol_minimum_subpix(vol, -1)
+        a = d
+        q = jnp.zeros((H, W, 2), jnp.float32)
+        theta = jnp.float32(theta0)
+        for n in range(iters):
+            q = rof_mod.weighted_huber_dual_ascent_p(q, d, g, sq, alpha)
+            d = rof_mod.weighted_l2_primal_descent(d, q, a, g, sd_,
+                                                   1.0 / theta)
+            a = cvm.cost_vol_minimum_square_penalty_subpix(vol, d, lam,
+                                                           theta, -1)
+            theta = theta * (1.0 - beta * (n + 1.0))
+        want = np.asarray(d)
+
+        got = np.asarray(sharding.sharded_dtam_solve(
+            vol, img, lam, theta0, sq, sd_, alpha, beta, ga, gb, mesh,
+            iterations=iters))
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+    def test_initial_wta_subpix_equivalence(self, mesh, rng):
+        # zero iterations: the sharded solve's seed WTA must equal
+        # cost_vol_minimum_subpix exactly (incl. parabola + masks)
+        from kangaroo_tpu.stereo import costvolume as cvm
+
+        D, H, W = 16, 8, 24
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        want = np.asarray(cvm.cost_vol_minimum_subpix(vol, -1))
+        got = np.asarray(sharding.sharded_dtam_solve(
+            vol, img, 20.0, 100.0, 0.7, 0.7, 0.002, 1e-5, 14.0, 2.5, mesh,
+            iterations=0))
+        np.testing.assert_array_equal(got, want)
+
+    def test_app_mesh_parameter(self, mesh):
+        from kangaroo_tpu.apps import stereo as stereo_app
+
+        left, right, _ = synthetic.stereo_pair(48, 24, 16, seed=2)
+        cfg = stereo_app.StereoConfig(max_disp=16, census_window="9x7",
+                                      dtam_iterations=8, lr_check=False,
+                                      median_its=1)
+        want = np.asarray(stereo_app.stereo_pipeline(left, right, cfg))
+        got = np.asarray(stereo_app.stereo_pipeline(left, right, cfg,
+                                                    mesh=mesh))
+        nan = np.isnan(want) & np.isnan(got)
+        assert (nan | (np.abs(want - got) <= 1e-4)).all()
+
+
 class TestShardedSgmApp:
     """App-level mesh-parallel SGM (sgm_pipeline(mesh=...)): the sharded
     aggregation slots into the full frame (census -> agg -> WTA -> median

@@ -7,6 +7,7 @@ they alias (mis-wired aliases would import fine but compute nonsense).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import kangaroo_tpu as kt
 from kangaroo_tpu import roo
@@ -51,12 +52,22 @@ class TestNamespace:
             import pytest
 
             pytest.skip("reference tree not available")
+        # any return-type token (incl. template params like 'Tout ImageL1')
+        # before a capitalised name at a declaration start — not a fixed
+        # list of return types, so new/odd declarations can't silently
+        # escape the check (ADVICE r3)
         pat = re.compile(
-            r"\b(?:void|float|bool|int|double|LeastSquaresSystem<[^>]*>|"
-            r"Mat<[^>]*>)\s+([A-Z][A-Za-z0-9_]*)\s*\(")
+            r"^\s*(?:inline\s+|static\s+|const\s+)?"
+            r"(?!template|typedef|return|namespace|struct|class|else|using|"
+            r"if|for|while)"
+            r"[A-Za-z_]\w*(?:<[^;{}]*?>)?[\s&*]+([A-Z]\w*)\s*\(",
+            re.MULTILINE)
         names = set()
         for h in list(ref.glob("cu_*.h")) + [ref / "reduce.h"]:
             names |= set(pat.findall(h.read_text(errors="ignore")))
+        # floor against regex rot: the cu_*.h surface declares 100 distinct
+        # host entry points today; a collapsing pattern must fail loudly
+        assert len(names) >= 95, f"regex extracted only {len(names)} names"
         missing = sorted(n for n in names if not hasattr(roo, n))
         assert not missing, f"reference names missing from shim: {missing}"
 
@@ -110,6 +121,23 @@ class TestRepresentativeCalls:
         u8 = roo.ConvertImage(img, "uint8")
         assert u8.dtype == jnp.uint8
         assert roo.ConvertImage(u8, "float").dtype == jnp.float32
+        # uchar->uchar is the identity (pixel_convert.h), not another scale
+        assert np.array_equal(roo.ConvertImage(u8, "uint8"), u8)
+        f = jnp.asarray(rng.random((4, 4)).astype(np.float32))
+        assert np.allclose(roo.ConvertImage(f, "float"), f)
+
+    def test_cost_volume_cross_section(self, rng):
+        # reference semantics (cu_dense_stereo.cu:767-789): normalised
+        # (sum/n)/255 slice of a CostVolElem volume, NaN where unvisited
+        n = jnp.asarray(np.array([[[2, 0]]], np.int32))          # (1, 1, 2)
+        s = jnp.asarray(np.array([[[510.0, 7.0]]], np.float32))
+        out = np.asarray(roo.CostVolumeCrossSection((n, s), 0))
+        assert out.shape == (1, 2)
+        assert out[0, 0] == pytest.approx((510.0 / 2) / 255.0)
+        assert np.isnan(out[0, 1])
+        vol = jnp.asarray(rng.random((4, 3, 5)).astype(np.float32))
+        out = np.asarray(roo.CostVolumeCrossSection(vol, 1))
+        assert np.allclose(out, np.asarray(vol)[:, 1, :] / 255.0)
 
     def test_dense_stereo_wrappers(self, rng):
         right = jnp.asarray(rng.random((20, 40)).astype(np.float32))
