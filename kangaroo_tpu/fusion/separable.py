@@ -80,6 +80,73 @@ _PERM = {0: (0, 1, 2), 1: (1, 0, 2), 2: (2, 0, 1)}
 _INV_PERM = {0: (0, 1, 2), 1: (1, 0, 2), 2: (1, 2, 0)}
 
 
+def _zero_ct(x):
+    """Zero cotangent matching x's primal type (float0 for int/bool)."""
+    import numpy as _np
+
+    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact):
+        return jnp.zeros_like(x)
+    return _np.zeros(jnp.shape(x), dtype=jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _windowed_fori_vjp(win_conv, full_conv, args, wconsts, fconsts):
+    state, b_lo, b_hi = args
+    return win_conv(state, b_lo, b_hi, *wconsts)
+
+
+def _wf_fwd(win_conv, full_conv, args, wconsts, fconsts):
+    state, b_lo, b_hi = args
+    return win_conv(state, b_lo, b_hi, *wconsts), (args, wconsts, fconsts)
+
+
+def _wf_bwd(win_conv, full_conv, res, ct):
+    args, wconsts, fconsts = res
+    _, vjp = jax.vjp(lambda a, c: full_conv(a[0], a[1], a[2], *c),
+                     args, fconsts)
+    ga, gf = vjp(ct)
+    # wconsts and fconsts reference the same upstream values; the full
+    # twin's vjp already carries the total derivative, so the wconsts slot
+    # contributes zero
+    return ga, tuple(map(_zero_ct, wconsts)), gf
+
+
+_windowed_fori_vjp.defvjp(_wf_fwd, _wf_bwd)
+
+
+def _windowed_fori(b_lo, b_hi, nb: int, body, state):
+    """``lax.fori_loop(b_lo, b_hi, body, state)`` with DYNAMIC bounds, made
+    reverse-differentiable.
+
+    JAX has no reverse rule for dynamic-bound fori_loops, which would make
+    the frustum plane windows forward-only. The fix: the forward pass runs
+    the dynamic window (cost scales with the window, unchanged); under
+    ``jax.grad`` the backward pass differentiates a STATIC-trip-count twin
+    whose body masks out-of-window batches with ``jnp.where`` — exactly
+    equal for any window, so the gradient is exact for the primal computed.
+    ``jax.closure_convert`` hoists the body's closed-over tracers (the
+    warped grid, homography parts, ...) into explicit vjp inputs so their
+    gradients flow too.
+    """
+
+    def windowed(state, lo, hi):
+        return jax.lax.fori_loop(lo, hi, body, state)
+
+    def full(state, lo, hi):
+        def gated(b, s):
+            out = body(b, s)
+            in_win = (b >= lo) & (b < hi)
+            return jax.tree_util.tree_map(
+                lambda o, x: jnp.where(in_win, o, x), out, s)
+
+        return jax.lax.fori_loop(0, nb, gated, state)
+
+    win_conv, wconsts = jax.closure_convert(windowed, state, b_lo, b_hi)
+    full_conv, fconsts = jax.closure_convert(full, state, b_lo, b_hi)
+    return _windowed_fori_vjp(win_conv, full_conv, (state, b_lo, b_hi),
+                              tuple(wconsts), tuple(fconsts))
+
+
 def _world_steps(vol: TsdfVolume):
     """World units per voxel index along (x, y, z)."""
     D, Hv, Wv = vol.val.shape
@@ -612,10 +679,12 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
         k_hi = (D - 1 - jnp.argmax(visible[::-1])).astype(jnp.int32)
         b_lo = jnp.where(any_vis, k_lo // P, 0)
         b_hi = jnp.where(any_vis, k_hi // P + 1, 0)
+        # dynamic window, reverse-differentiable via the static twin
+        val, weight, colour = _windowed_fori(
+            b_lo, b_hi, D // P, batch_body, (val_p, wgt_p, col_in))
     else:
-        b_lo, b_hi = 0, D // P
-    val, weight, colour = jax.lax.fori_loop(
-        b_lo, b_hi, batch_body, (val_p, wgt_p, col_in))
+        val, weight, colour = jax.lax.fori_loop(
+            0, D // P, batch_body, (val_p, wgt_p, col_in))
     out_vol = TsdfVolume(
         val.transpose(inv_perm), weight.transpose(inv_perm), vol.bbox)
     if color_p is None:
@@ -827,8 +896,14 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
             n_w = jnp.stack([comps[0], comps[1], comps[2]], axis=-1)
 
         crossing = in_range & prev_ok & (prev_val > 0) & (val <= 0)
-        lam = prev_val / jnp.maximum(prev_val - val, 1e-20)
-        qz_hit = prev_qz + (qz - prev_qz) * lam
+        # double-where guard: non-crossing lanes can hold inf/NaN qz from
+        # degenerate planes; a multiply whose saved residual is non-finite
+        # turns the zero cotangent into NaN in reverse mode (0 * inf), so
+        # both factors are masked BEFORE the product, not just the result
+        lam = jnp.where(crossing, prev_val, 0.0) / jnp.maximum(
+            jnp.where(crossing, prev_val - val, 1.0), 1e-20)
+        qz_hit = (jnp.where(crossing, prev_qz, 0.0)
+                  + jnp.where(crossing, qz - prev_qz, 0.0) * lam)
 
         # first crossing in the batch (ascending rays), none before it and
         # none in earlier batches
@@ -839,8 +914,10 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
 
         # last reverse crossing in the batch (descending rays overwrite)
         rcross = in_range & prev_ok & (val > 0) & (prev_val <= 0)
-        rlam = val / jnp.maximum(val - prev_val, 1e-20)
-        rqz_hit = qz + (prev_qz - qz) * rlam
+        rlam = jnp.where(rcross, val, 0.0) / jnp.maximum(
+            jnp.where(rcross, val - prev_val, 1.0), 1e-20)
+        rqz_hit = (jnp.where(rcross, qz, 0.0)
+                   + jnp.where(rcross, prev_qz - qz, 0.0) * rlam)
         later = (jnp.cumsum(rcross[::-1], axis=0)[::-1] - rcross.astype(jnp.int32))
         last = rcross & (later == 0)
         any_r = jnp.any(rcross, axis=0)
@@ -892,8 +969,12 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
             prev_ok = jnp.concatenate([c.prev_ok[None], in_range[:-1]], axis=0)
             prev_qz = jnp.concatenate([c.prev_qz[None], qz[:-1]], axis=0)
             crossing = in_range & prev_ok & (prev_val > 0) & (val <= 0)
-            lam = prev_val / jnp.maximum(prev_val - val, 1e-20)
-            qz_hit = prev_qz + (qz - prev_qz) * lam
+            # double-where guard against 0 * inf in reverse mode (see the
+            # dual-scan body above)
+            lam = jnp.where(crossing, prev_val, 0.0) / jnp.maximum(
+                jnp.where(crossing, prev_val - val, 1.0), 1e-20)
+            qz_hit = (jnp.where(crossing, prev_qz, 0.0)
+                      + jnp.where(crossing, qz - prev_qz, 0.0) * lam)
             prior = jnp.cumsum(crossing, axis=0) - crossing.astype(jnp.int32)
             first = crossing & (prior == 0) & ~c.found
             depth = c.depth + jnp.sum(jnp.where(first, qz_hit, 0.0), axis=0)
@@ -941,15 +1022,6 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
             # windowed batch loop: only visible plane batches are swept.
             # win_rev marks that pk is the k-reversed volume, so the
             # visible window maps to [D-1-k_hi, D-1-k_lo].
-            if not clip_planes:
-                b_lo, b_hi = 0, D // P
-            elif win_rev:
-                b_lo = jnp.where(any_vis, (D - 1 - k_hi) // P, 0)
-                b_hi = jnp.where(any_vis, (D - 1 - k_lo) // P + 1, 0)
-            else:
-                b_lo = jnp.where(any_vis, k_lo // P, 0)
-                b_hi = jnp.where(any_vis, k_hi // P + 1, 0)
-
             def body(b, cs):
                 k0 = b * P
                 xs_b = (
@@ -961,8 +1033,18 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
                 cs, _ = planes_single(cs, xs_b)
                 return cs
 
-            cs = jax.lax.fori_loop(
-                b_lo, b_hi, body, CarryS(zero, fal, zero, zero, fal))
+            init = CarryS(zero, fal, zero, zero, fal)
+            if not clip_planes:
+                cs = jax.lax.fori_loop(0, D // P, body, init)
+                return cs.depth, cs.found
+            if win_rev:
+                b_lo = jnp.where(any_vis, (D - 1 - k_hi) // P, 0)
+                b_hi = jnp.where(any_vis, (D - 1 - k_lo) // P + 1, 0)
+            else:
+                b_lo = jnp.where(any_vis, k_lo // P, 0)
+                b_hi = jnp.where(any_vis, k_hi // P + 1, 0)
+            # dynamic window, reverse-differentiable via the static twin
+            cs = _windowed_fori(b_lo, b_hi, D // P, body, init)
             return cs.depth, cs.found
 
         def uniform_case(_):
