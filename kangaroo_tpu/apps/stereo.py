@@ -61,6 +61,13 @@ class StereoConfig:
     median_max_bad: int = 12
     filt_grad_thresh: float = 0.0
     dtam_iterations: int = 80  # host loop runs 5/frame until theta small
+    # coarse-to-fine warm start: solve the half-resolution volume first
+    # (1/8 the sweep bytes), upsample its disparity as d_init, and run only
+    # ``dtam_iterations`` fine iterations — the pyramid analogue of the
+    # reference's incremental cross-frame schedule (main.cpp:368-383 keeps
+    # imgd/imgq warm between frames instead of re-solving cold)
+    coarse_init: bool = False
+    coarse_iterations: int = 50
 
 
 def preprocess_intensity(img, cfg: StereoConfig):
@@ -105,12 +112,18 @@ def cost_volume(left, right, cfg: StereoConfig, sd: int = -1):
 
 @functools.partial(jax.jit, static_argnames=("iterations", "sd"))
 def dtam_solve(vol, img_left, lam, theta_start, sigma_q, sigma_d, huber_alpha,
-               beta, g_alpha, g_beta, iterations: int = 80, sd: int = -1):
+               beta, g_alpha, g_beta, iterations: int = 80, sd: int = -1,
+               d_init=None):
     """The DTAM alternation (main.cpp:354-383), fully on-chip.
 
     Each iteration: weighted-Huber dual ascent on q, weighted primal descent
     on d, exhaustive auxiliary search with square penalty, theta annealing
     theta *= (1 - beta*n).
+
+    ``d_init`` replaces the WTA-subpix initialisation (dtam_reset,
+    main.cpp:354-365) — the coarse-to-fine warm start passes the upsampled
+    coarse disparity here, saving both the init sweep and most of the fine
+    iterations.
 
     On TPU, when the volume + field planes fit VMEM, the whole alternation
     runs inside ONE Pallas kernel with the cost volume resident in VMEM
@@ -125,7 +138,8 @@ def dtam_solve(vol, img_left, lam, theta_start, sigma_q, sigma_d, huber_alpha,
     if jnp.issubdtype(jnp.asarray(img_left).dtype, jnp.integer):
         g_img = g_img / 255.0  # float inputs are already on the [0,1] scale
     g = cv.exponential_edge_weight(g_img, g_alpha, g_beta)
-    d0 = fast.cost_vol_minimum_subpix(vol, sd)
+    d0 = (d_init.astype(jnp.float32) if d_init is not None
+          else fast.cost_vol_minimum_subpix(vol, sd))
     if backend.use_pallas(dtam_pallas.fits(vol)):
         return dtam_pallas.dtam_solve(vol, g, d0, lam, theta_start, sigma_q,
                                       sigma_d, huber_alpha, beta,
@@ -145,6 +159,111 @@ def dtam_solve(vol, img_left, lam, theta_start, sigma_q, sigma_d, huber_alpha,
         0, iterations, body, (d0, a0, q0, jnp.float32(theta_start))
     )
     return d
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "sd"))
+def dtam_increment(vol, g, d, a, q, theta, n, lam, sigma_q, sigma_d,
+                   huber_alpha, beta, iterations: int = 5, sd: int = -1):
+    """Resume the DTAM alternation from full (d, a, q, theta, n) state for
+    ``iterations`` steps — the reference's per-frame schedule verbatim
+    (main.cpp:368-383: 5 iterations per frame, theta *= (1 - beta*n) with
+    the GLOBAL counter n, state persisting across frames). Returns the
+    advanced (d, a, q, theta, n).
+
+    Dispatches to the whole-volume-in-VMEM Pallas kernel
+    (dtam_pallas.dtam_step) when the volume fits; the XLA fori_loop is the
+    bit-identical twin."""
+    from .. import backend
+    from ..stereo import dtam_pallas
+
+    if backend.use_pallas(dtam_pallas.fits(vol)):
+        return dtam_pallas.dtam_step(vol, g, d, a, q, theta, n, lam,
+                                     sigma_q, sigma_d, huber_alpha, beta,
+                                     iterations=iterations, sd=sd)
+
+    def body(i, carry):
+        d_, a_, q_, theta_, n_ = carry
+        q_ = rof.weighted_huber_dual_ascent_p(q_, d_, g, sigma_q, huber_alpha)
+        d_ = rof.weighted_l2_primal_descent(d_, q_, a_, g, sigma_d,
+                                            1.0 / theta_)
+        a_ = fast.cost_vol_minimum_square_penalty_subpix(vol, d_, lam,
+                                                         theta_, sd)
+        theta_ = theta_ * (1.0 - beta * n_)
+        n_ = n_ + 1.0
+        return (d_, a_, q_, theta_, n_)
+
+    return jax.lax.fori_loop(
+        0, iterations, body,
+        (d, a, q, jnp.asarray(theta, jnp.float32),
+         jnp.asarray(n, jnp.float32)))
+
+
+def dtam_frame(left, right, state, cfg: StereoConfig, iterations: int = 5):
+    """One incremental DTAM frame (jit-compatible): preprocess + census
+    volume + ``iterations`` alternation steps resumed from ``state`` +
+    median/LR postprocess — exactly the reference app's per-frame work
+    (main.cpp:280-383,457-474), with the solver state persisting across
+    frames instead of a cold re-solve. ``state`` is (d, a, q, theta, n) or
+    None (dtam_reset: WTA-subpix init, main.cpp:354-365). Returns
+    (postprocessed disparity, new state)."""
+    left_p = preprocess_intensity(left, cfg)
+    right_p = preprocess_intensity(right, cfg)
+    vol_l = cost_volume(left_p, right_p, cfg, -1)
+    if cfg.filter_volume:
+        vol_l = ii.guided_filter_volume(vol_l, left_p, cfg.filter_rad,
+                                        cfg.filter_eps)
+    g = cv.exponential_edge_weight(left_p, cfg.g_alpha, cfg.g_beta)
+    if state is None:
+        d0 = fast.cost_vol_minimum_subpix(vol_l, -1)
+        state = (d0, d0, jnp.zeros(d0.shape + (2,), jnp.float32),
+                 jnp.float32(cfg.theta_start), jnp.float32(0.0))
+    d, a, q, theta, n = state
+    state = dtam_increment(vol_l, g, d, a, q, theta, n, cfg.lam, cfg.sigma_q,
+                           cfg.sigma_d, cfg.huber_alpha, cfg.beta,
+                           iterations=iterations)
+    disp_r = None
+    if cfg.lr_check:
+        vol_r = cost_volume(left_p, right_p, cfg, 1)
+        disp_r = fast.cost_vol_minimum_subpix(vol_r, 1)
+    return postprocess(state[0], disp_r, cfg), state
+
+
+class VariationalStereo:
+    """Stateful incremental DTAM stereo driver — the reference app's main
+    loop (applications/stereo/main.cpp:280-495) as an object: ``reset()``
+    is the dtam_reset branch (WTA init, q = 0, theta/n reset,
+    main.cpp:354-365), ``process_frame()`` is the capture branch (census
+    volume rebuild from the new pair + 5 alternation iterations while
+    theta > min_theta + post filters, main.cpp:368-383,457-474). The
+    (d, a, q, theta, n) state persists across frames exactly like the
+    reference's imgd/imga/imgq device buffers, so disparity refines
+    incrementally at ~5 iterations of cost per frame instead of a cold
+    re-solve."""
+
+    def __init__(self, cfg: StereoConfig = StereoConfig(),
+                 its_per_frame: int = 5, min_theta: float = 1e-4):
+        self.cfg = cfg
+        self.its_per_frame = its_per_frame
+        self.min_theta = float(min_theta)  # main.cpp:367
+        self.state = None
+        self.disp = None
+
+    def reset(self):
+        """dtam_reset: the next frame re-initialises from its volume's WTA."""
+        self.state = None
+
+    @property
+    def theta(self):
+        return float(self.state[3]) if self.state is not None else None
+
+    def process_frame(self, left, right):
+        """Run one frame; returns the postprocessed disparity."""
+        its = self.its_per_frame
+        if self.state is not None and float(self.state[3]) <= self.min_theta:
+            its = 0  # converged: the reference stops iterating (main.cpp:368)
+        self.disp, self.state = dtam_frame(left, right, self.state, self.cfg,
+                                           iterations=its)
+        return self.disp
 
 
 def postprocess(disp_l, disp_r, cfg: StereoConfig):
@@ -187,10 +306,26 @@ def stereo_pipeline(left, right, cfg: StereoConfig = StereoConfig(),
             iterations=cfg.dtam_iterations,
         )
     elif use_dtam:
+        d_init = None
+        if cfg.coarse_init:
+            from ..ops import resample as resample_mod
+
+            lh = resample_mod.box_half(left_p)
+            rh = resample_mod.box_half(right_p)
+            ccfg = dataclasses.replace(cfg, max_disp=max(cfg.max_disp // 2, 8),
+                                       coarse_init=False)
+            vol_c = cost_volume(lh, rh, ccfg, -1)
+            d_c = dtam_solve(
+                vol_c, lh, cfg.lam, cfg.theta_start, cfg.sigma_q, cfg.sigma_d,
+                cfg.huber_alpha, cfg.beta, cfg.g_alpha, cfg.g_beta,
+                iterations=cfg.coarse_iterations,
+            )
+            H, W = left_p.shape
+            d_init = 2.0 * resample_mod.resample(d_c, W, H, "bilinear")
         disp_l = dtam_solve(
             vol_l, left_p, cfg.lam, cfg.theta_start, cfg.sigma_q, cfg.sigma_d,
             cfg.huber_alpha, cfg.beta, cfg.g_alpha, cfg.g_beta,
-            iterations=cfg.dtam_iterations,
+            iterations=cfg.dtam_iterations, d_init=d_init,
         )
     else:
         disp_l = fast.cost_vol_minimum_subpix(vol_l, -1)

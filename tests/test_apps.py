@@ -129,12 +129,17 @@ class TestVariationalStereoApp:
 
 
 class TestKinectFusionApp:
-    def test_tracking_and_fusion_on_synthetic_orbit(self):
+    # all three fuse/raycast engines must track (the 'guided' and 'exact'
+    # configs are supported, not just the default plane-sweep — equal
+    # app-level coverage per engine)
+    @pytest.mark.parametrize("engine", ["separable", "guided", "exact"])
+    def test_tracking_and_fusion_on_synthetic_orbit(self, engine):
         W, H = 64, 48
         K = kt.Intrinsics.centered(55.0, W, H)
         cfg = kf.KinectFusionConfig(
             w=W, h=H, vol_res=48, vol_extent=1.2, max_levels=2, its=(2, 2),
             near=0.5, far=6.0, max_rmse=0.3, bilateral_minval=0.2,
+            engine=engine,
         )
         pipe = kf.KinectFusion(K, cfg)
         scene = synthetic.sphere_scene(res=64)
@@ -605,3 +610,44 @@ class TestQuantitativeGates:
         assert np.median(dist) < 0.15 * voxel, np.median(dist) / voxel
         assert np.percentile(dist, 99) < 0.5 * voxel
         assert dist.max() < 1.0 * voxel
+
+
+class TestVariationalStereoIncremental:
+    def test_incremental_converges_like_cold_solve(self):
+        """10 frames x 5 iterations of the reference's incremental schedule
+        (VariationalStereo) reach the cold 50-iteration solve's disparity:
+        the per-frame state carry-over loses nothing (the theta trajectory
+        differs by one annealing factor, ~1e-5 relative)."""
+        left, right, gt = synthetic.stereo_pair(96, 64, 16, seed=0)
+        cfg = stereo_app.StereoConfig(max_disp=16, census_window="9x7",
+                                      dtam_iterations=50)
+        cold = np.asarray(stereo_app.stereo_pipeline(left, right, cfg))
+
+        inc = stereo_app.VariationalStereo(cfg, its_per_frame=5)
+        for _ in range(10):
+            disp = inc.process_frame(left, right)
+        d = np.asarray(disp)
+        both = np.isfinite(cold) & np.isfinite(d)
+        assert both.mean() > 0.5
+        assert np.median(np.abs(cold[both] - d[both])) < 0.02
+        # and the accuracy holds vs ground truth
+        g = np.asarray(gt)
+        inner = np.zeros_like(g, bool)
+        inner[8:-8, 20:-8] = True
+        m = np.isfinite(d) & inner
+        assert np.median(np.abs(d[m] - g[m])) < 1.5
+        assert float(inc.theta) < 100.0  # annealing advanced across frames
+
+    def test_reset_and_converged_gate(self):
+        left, right, _ = synthetic.stereo_pair(48, 32, 8, seed=1)
+        cfg = stereo_app.StereoConfig(max_disp=8, census_window="9x7",
+                                      lr_check=False, median_its=0)
+        inc = stereo_app.VariationalStereo(cfg, its_per_frame=2,
+                                           min_theta=99.9999)
+        inc.process_frame(left, right)
+        th1 = inc.theta
+        # theta dropped below min_theta after frame 1 -> frame 2 iterates 0x
+        inc.process_frame(left, right)
+        assert inc.theta == th1
+        inc.reset()
+        assert inc.state is None

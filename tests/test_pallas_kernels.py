@@ -441,6 +441,49 @@ class TestDtamPallas:
             vol, g, d0, lam, th0, sq, sdt, al, be, iterations=6))
         np.testing.assert_allclose(got, want, atol=1e-5)
 
+    def test_incremental_step_matches_xla_loop(self, interpret, rng):
+        """dtam_step (full state in/out, the reference's global-counter
+        annealing) matches apps.stereo.dtam_increment's XLA twin, and two
+        chained 3-iteration steps equal one 6-iteration step."""
+        from kangaroo_tpu.apps import stereo as stereo_app
+        from kangaroo_tpu.stereo import costvolume as cv
+        from kangaroo_tpu.stereo import dispatch as fast
+        from kangaroo_tpu.stereo import dtam_pallas
+
+        D, H, W = 8, 16, 128
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        g = cv.exponential_edge_weight(img, 1.0, 2.5)
+        d0 = fast.cost_vol_minimum_subpix(vol, -1)
+        q0 = jnp.zeros((H, W, 2), jnp.float32)
+        args = (20.0, 0.7, 0.7, 0.002, 1e-3)  # lam, sq, sd, alpha, beta
+
+        import kangaroo_tpu.backend as backend
+        import os
+
+        os.environ["KANGAROO_FORCE_XLA"] = "1"
+        try:
+            want = stereo_app.dtam_increment(
+                vol, g, d0, d0, q0, jnp.float32(100.0), jnp.float32(0.0),
+                *args, iterations=6)
+        finally:
+            del os.environ["KANGAROO_FORCE_XLA"]
+        got = dtam_pallas.dtam_step(
+            vol, g, d0, d0, q0, jnp.float32(100.0), jnp.float32(0.0),
+            *args, iterations=6)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+        # chaining: 3 + 3 == 6 (state round-trips exactly)
+        s1 = dtam_pallas.dtam_step(
+            vol, g, d0, d0, q0, jnp.float32(100.0), jnp.float32(0.0),
+            *args, iterations=3)
+        s2 = dtam_pallas.dtam_step(vol, g, s1[0], s1[1], s1[2], s1[3], s1[4],
+                                   *args, iterations=3)
+        for a, b in zip(s2, got):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
 
 class TestSgmStackedSeams:
     def test_stacked_frames_equal_per_frame(self, interpret, rng):
