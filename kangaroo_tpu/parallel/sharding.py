@@ -721,6 +721,23 @@ def sharded_semi_global_matching(vol, img, P1, P2, mesh, sd: int = -1,
     assert H % n == 0, "image rows must divide the mesh"
     mask_mode_left = sd < 0
 
+    if n == 1:
+        # one shard: every recurrence is local, so the wavefront machinery
+        # (zero-init result buffers, row-reversed operands, per-step
+        # dynamic slices, post-loop adds) is pure overhead — run the
+        # single-device aggregation (in-kernel direction chaining on TPU)
+        # under the same mesh/specs. Measured 2.6 -> ~1.5 ms at VGA/64
+        # (docs/PERF.md "wavefront overhead model").
+        from ..stereo import dispatch as _fast
+
+        f1 = shard_map(
+            lambda v, i: _fast.semi_global_matching(
+                v, i, P1, P2, do_diagonal=do_diagonal, sd=sd),
+            mesh=mesh, in_specs=(P(None, AXIS, None), P(AXIS, None)),
+            out_specs=P(None, AXIS, None), check_vma=False,
+        )
+        return f1(vol, img)
+
     def local(v_blk, img_blk):
         # v_blk (D, Hs, W) -> (Hs, W, D)
         v = jnp.moveaxis(v_blk.astype(jnp.float32), 0, -1)

@@ -89,6 +89,25 @@ class TestShardedSgm:
         m = np.broadcast_to(d <= x, (D, H, W))
         np.testing.assert_allclose(got[m], want[m], rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("do_diagonal", [False, True])
+    def test_wavefront_one_shard_specialization(self, rng, do_diagonal):
+        # n == 1 takes the no-wavefront fast path (no cross-shard carries
+        # exist); it must stay bit-equal to the single-device aggregation
+        from kangaroo_tpu.stereo import sgm as sx
+
+        D, H, W = 8, 16, 24
+        vol = jnp.asarray(rng.random((D, H, W)).astype(np.float32))
+        img = jnp.asarray(rng.random((H, W)).astype(np.float32))
+        mesh1 = mesh_mod.make_mesh(1)
+        want = np.asarray(sx.semi_global_matching(vol, img, 0.03, 0.1,
+                                                  do_diagonal=do_diagonal))
+        got = np.asarray(sharding.sharded_semi_global_matching(
+            vol, img, 0.03, 0.1, mesh1, do_diagonal=do_diagonal))
+        d = np.arange(D)[:, None, None]
+        x = np.arange(W)[None, None, :]
+        m = np.broadcast_to(d <= x, (D, H, W))
+        np.testing.assert_array_equal(got[m], want[m])
+
     def test_reshard_strategy_matches_single_device(self, mesh, rng):
         # column shards for vertical paths + all_to_all + row shards for
         # horizontal: exactly the single-device recurrences, no wavefront
