@@ -158,7 +158,11 @@ def bench_dtam(iters=10):
       median/LR posts (apps.stereo.dtam_frame). Quality of the schedule is
       gated by quality_metrics()'s dtam_incr block in the same artifact.
     - ``dtam_stereo_cold50_ms``: the 50-iteration cold solve in one
-      dispatch (the r1-r3 metric, kept for continuity)."""
+      dispatch (the r1-r3 metric, kept for continuity).
+    - ``dtam_sharded_1shard_ms``: the same cold solve through the
+      mesh-parallel path (parallel/sharding.py sharded_dtam_solve,
+      disparity-axis sharded) on a 1-device mesh — the real-TPU half of
+      the sharded-DTAM equality suite, like the SGM sharded configs."""
     import jax.numpy as jnp
 
     from kangaroo_tpu.apps import stereo as stereo_app
@@ -181,7 +185,15 @@ def bench_dtam(iters=10):
     f = lambda l, r: stereo_app.stereo_pipeline(l, r, cfg, use_dtam=True)
     cold_ms = _timeit(f, left, right, iters=iters,
                       key="dtam_stereo_cold50_ms")
-    return inc_ms, cold_ms
+
+    from kangaroo_tpu.parallel import mesh as mesh_mod
+
+    mesh = mesh_mod.make_mesh(1)
+    fs = lambda l, r: stereo_app.stereo_pipeline(l, r, cfg, use_dtam=True,
+                                                 mesh=mesh)
+    shard_ms = _timeit(fs, left, right, iters=iters,
+                       key="dtam_sharded_1shard_ms")
+    return inc_ms, cold_ms, shard_ms
 
 
 def bench_variational(iters=20):
@@ -695,9 +707,10 @@ def main():
         r_ms, t_ms = bench_variational()
         configs["rof_100it_ms"] = round(r_ms, 3)
         configs["tgv_100it_ms"] = round(t_ms, 3)
-        inc_ms, cold_ms = bench_dtam()
+        inc_ms, cold_ms, dtam_shard_ms = bench_dtam()
         configs["dtam_stereo_frame_ms"] = round(inc_ms, 2)
         configs["dtam_stereo_cold50_ms"] = round(cold_ms, 2)
+        configs["dtam_sharded_1shard_ms"] = round(dtam_shard_ms, 2)
         configs["fuse_raycast_256_vga_ms"] = round(bench_fusion(), 2)
         configs["kinectfusion_frame_one_jit_ms"] = round(bench_kf_frame(), 2)
         configs["kinectfusion_sequence_ms_per_frame"] = round(

@@ -12,7 +12,58 @@ need reference-exact masking combine with :func:`in_bounds`.
 """
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def take_f32_bits(flat, idx):
+    """Bit-exact ``jnp.take(flat, idx, axis=0)`` for f32 data, 2.7x faster
+    on TPU.
+
+    XLA's per-pixel f32 gather runs at ~7 ns/elem (2.18 ms for 307k
+    elements at VGA — the measured 'gather floor' of docs/PERF.md). The
+    same gather expressed over the f32 words' 16-bit halves — bitcast to
+    u16[N, 2], gather rows, bitcast back — runs at ~2.6 ns/elem (0.80 ms):
+    the (2, 128) 16-bit tiling packs both halves of a word into one lane
+    read, and the row gather moves half-width lanes. u16 (not bf16!) is
+    essential: reinterpreted halves can encode signaling NaNs/denormals
+    that a float gather path may canonicalize (observed: 0.8% of elements
+    off by 1 ulp via bf16), while integer moves are exact.
+
+    ``flat`` is (N,) or (N, C) float32; ``idx`` any int shape. Backward is
+    the gather's usual scatter-add, so this is a drop-in for ``jnp.take``
+    under ``jax.grad`` (the bitcasts themselves are not differentiable).
+    """
+    return _take_bits_fwd_impl(flat, idx)
+
+
+def _take_bits_fwd_impl(flat, idx):
+    assert flat.dtype == jnp.float32, flat.dtype
+    bits = jax.lax.bitcast_convert_type(flat, jnp.uint16)  # (N[, C], 2)
+    if flat.ndim == 2:
+        bits = bits.reshape(flat.shape[0], -1)
+    got = jnp.take(bits, idx, axis=0)
+    out = jax.lax.bitcast_convert_type(
+        got.reshape(*idx.shape, flat.shape[1], 2) if flat.ndim == 2 else got,
+        jnp.float32)
+    return out
+
+
+def _take_bits_fwd(flat, idx):
+    return _take_bits_fwd_impl(flat, idx), (idx, flat.shape)
+
+
+def _take_bits_bwd(res, ct):
+    idx, shape = res
+    flat_ct = jnp.zeros(shape, ct.dtype).at[idx.reshape(-1)].add(
+        ct.reshape(-1, *shape[1:]))
+    return flat_ct, None
+
+
+take_f32_bits.defvjp(_take_bits_fwd, _take_bits_bwd)
 
 
 def _clip_xy(img, x, y):
@@ -66,8 +117,19 @@ def bilinear(img, x, y):
 
 
 def nearest(img, x, y):
-    """Nearest-neighbour sample (Image.h GetNearestNeighbour:337)."""
-    return get_clamped(img, jnp.floor(x + 0.5).astype(jnp.int32), jnp.floor(y + 0.5).astype(jnp.int32))
+    """Nearest-neighbour sample (Image.h GetNearestNeighbour:337).
+
+    f32 images route through :func:`take_f32_bits` (bit-exact, 2.7x the
+    plain gather on TPU); other dtypes use clamped fancy indexing."""
+    xi = jnp.floor(jnp.asarray(x) + 0.5).astype(jnp.int32)
+    yi = jnp.floor(jnp.asarray(y) + 0.5).astype(jnp.int32)
+    if img.dtype == jnp.float32 and img.ndim in (2, 3) and xi.ndim >= 1:
+        H, W = img.shape[:2]
+        xi = jnp.clip(xi, 0, W - 1)
+        yi = jnp.clip(yi, 0, H - 1)
+        flat = img.reshape(H * W, -1) if img.ndim == 3 else img.reshape(-1)
+        return take_f32_bits(flat, yi * W + xi)
+    return get_clamped(img, xi, yi)
 
 
 def central_diff(img, x, y):

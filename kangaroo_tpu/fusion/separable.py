@@ -476,8 +476,9 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
     else:
         ui = jnp.clip(jnp.floor(jnp.where(uv_ok, u, 0.0) + 0.5), 0, Wi - 1)
         vi = jnp.clip(jnp.floor(jnp.where(uv_ok, v, 0.0) + 0.5), 0, Hi - 1)
+        # 16-bit-halves gather: bit-exact, ~1.6x the f32[N, 2] take
         flat = packed.reshape(-1, 2)
-        G = jnp.take(flat, (vi * Wi + ui).astype(jnp.int32), axis=0)
+        G = sampling.take_f32_bits(flat, (vi * Wi + ui).astype(jnp.int32))
     invalid_px = jnp.array([_INVALID_DEPTH, 0.0], jnp.float32)
     G = jnp.where(uv_ok[..., None], G, invalid_px)  # (grid_h, grid_w, 2)
 
@@ -502,7 +503,7 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
         vi2 = jnp.clip(jnp.floor(jnp.where(ok2, v2, 0.0) + 0.5), 0, Hc - 1)
         packed2 = jnp.stack(
             [grey_img, jnp.ones_like(grey_img)], axis=-1).reshape(-1, 2)
-        G2 = jnp.take(packed2, (vi2 * Wc + ui2).astype(jnp.int32), axis=0)
+        G2 = sampling.take_f32_bits(packed2, (vi2 * Wc + ui2).astype(jnp.int32))
         G2 = jnp.where(ok2[..., None], G2, 0.0)
         G2m = G2.reshape(grid_h, grid_w * 2)
         A2, g2 = geom2.A, geom2.g
@@ -1111,7 +1112,7 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
             [qz_hit[..., None], n_w,
              found.astype(jnp.float32)[..., None]], axis=-1
         ).reshape(-1, 5)
-        got = jnp.take(out_pack, flat_idx, axis=0)
+        got = sampling.take_f32_bits(out_pack, flat_idx)
         hit = inb & (got[..., 4] > 0.5)
         depth = jnp.where(hit, got[..., 0], jnp.nan)
         n_c = se3.rotate_inv(jnp.asarray(T_wc), got[..., 1:4])
@@ -1120,8 +1121,9 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
         # app-level NormalsFromVbo path (cu_normals.cu:12-45)
         from ..geometry import depth as depth_mod
 
+        # 16-bit-halves gather: bit-exact, 2.7x the f32 take (sampling.py)
         d_pack = jnp.where(found, qz_hit, jnp.nan).reshape(-1)
-        got_d = jnp.take(d_pack, flat_idx, axis=0)
+        got_d = sampling.take_f32_bits(d_pack, flat_idx)
         hit = inb & jnp.isfinite(got_d)
         depth = jnp.where(hit, got_d, jnp.nan)
         vbo = depth_mod.depth_to_vbo(depth, K)

@@ -161,9 +161,13 @@ def _dtam_slab_wta(vol_ext, d0_base, last_disp, lam, inv2theta, sd: int,
     bestc = jnp.min(masked, axis=0)
     # ext[k] = vol[d0_base - 1 + k] with the global edges clamped by the
     # halo replication, so ext[ibest] IS vol[clip(bestd-1, 0)] and
-    # ext[ibest + 2] IS vol[clip(bestd+1, D-1)]
-    vl = jnp.take_along_axis(vol_ext, ibest[None], axis=0)[0]
-    vr = jnp.take_along_axis(vol_ext, ibest[None] + 2, axis=0)[0]
+    # ext[ibest + 2] IS vol[clip(bestd+1, D-1)]. One-hot masked sums, not
+    # take_along_axis — the per-pixel d gather is a ~7.7 ms/call lane
+    # gather at VGA/64 (it cost the sharded alternation 45x); the masked
+    # sums fuse into one slab stream (costvolume._planes_at_pair).
+    from ..stereo.costvolume import _planes_at_pair
+
+    vl, vr = _planes_at_pair(vol_ext, ibest, ibest + 2)
     bestd = d0_base + ibest.astype(jnp.float32)
     return bestc, bestd, vl, vr
 

@@ -72,8 +72,11 @@ def icp_point_plane(points_live, points_ref, normals_ref, KT_lr, T_rl, c,
         if K_live is None:
             _Pl = sampling.nearest(points_live, pl_u, pl_v)[..., :3]
         else:
-            z = jnp.take(points_live[..., 2].reshape(-1),
-                         (vi * Wl + ui).astype(jnp.int32), axis=0)
+            # 16-bit-halves gather (sampling.take_f32_bits): bit-exact and
+            # 2.7x the plain f32 take — this association was the single
+            # largest op in the one-jit KF frame (2.2 ms of 5.7, xplane)
+            z = sampling.take_f32_bits(points_live[..., 2].reshape(-1),
+                                       (vi * Wl + ui).astype(jnp.int32))
             _Pl = reconstruct(z, ui, vi)
         pl_valid = jnp.isfinite(_Pl[..., 2])
     else:

@@ -39,6 +39,20 @@ def cost_vol_minimum(vol, max_disp: int | None = None):
     return jnp.argmin(masked, axis=0).astype(jnp.int32)
 
 
+def _planes_at_pair(vol, il, ir):
+    """``vol[il, y, x]`` and ``vol[ir, y, x]`` per pixel via one-hot masked
+    sums instead of ``take_along_axis``: a per-pixel gather along d lowers
+    to a ~7 ns/elem lane gather on TPU (7.7 ms/call at VGA/64 — it made the
+    sharded-DTAM alternation 45x slower than the Pallas whole-solve), while
+    the fused select+add pass streams the volume once at HBM rate
+    (0.035 ms). Bit-equal: the one-hot rows are exclusive and exhaustive
+    for in-range indices. Both sums fuse into ONE volume read."""
+    di = jnp.arange(vol.shape[0])[:, None, None]
+    vl = jnp.sum(jnp.where(di == il[None], vol, 0.0), axis=0)
+    vr = jnp.sum(jnp.where(di == ir[None], vol, 0.0), axis=0)
+    return vl, vr
+
+
 @functools.partial(jax.jit, static_argnames=("sd",))
 def cost_vol_minimum_subpix(vol, sd: int = -1):
     """WTA + parabola refinement (CostVolMinimumSubpix, cu_dense_stereo.cu:67-116).
@@ -56,8 +70,7 @@ def cost_vol_minimum_subpix(vol, sd: int = -1):
 
     dl = jnp.clip(bestd - 1, 0, D - 1)
     dr = jnp.clip(bestd + 1, 0, D - 1)
-    sl = jnp.take_along_axis(vol, dl[None], axis=0)[0]
-    sr = jnp.take_along_axis(vol, dr[None], axis=0)[0]
+    sl, sr = _planes_at_pair(vol, dl, dr)
     denom = 2.0 * (sr - 2.0 * bestc + sl)
     subpix = bestd - (sr - sl) / denom
 
@@ -88,8 +101,8 @@ def cost_vol_minimum_square_penalty_subpix(vol, last_disp, lam, theta, sd: int =
     # bounds at the volume edge; we pin the read like the golden model).
     dl = bestd - 1
     dr = bestd + 1
-    vl = jnp.take_along_axis(vol, jnp.clip(dl, 0, D - 1)[None], axis=0)[0]
-    vr = jnp.take_along_axis(vol, jnp.clip(dr, 0, D - 1)[None], axis=0)[0]
+    vl, vr = _planes_at_pair(vol, jnp.clip(dl, 0, D - 1),
+                             jnp.clip(dr, 0, D - 1))
     cl = inv2theta * (last_disp - dl) ** 2 + lam * vl
     cr = inv2theta * (last_disp - dr) ** 2 + lam * vr
     subpix = bestd - (cr - cl) / (2.0 * (cr - 2.0 * bestc + cl))

@@ -57,9 +57,11 @@ def main():
              vol, img)
     # forward-only whole vertical scan: the like-for-like baseline for the
     # one-direction chained-blocks seam measurement below
+    # reduce_outputs here matches the chained measurement below so the
+    # full-output sum overhead cancels out of the seam estimate
     t_v1 = ms(lambda v, i: sp.sgm_aggregate_scan(v, i, 0.01, 0.02, False,
                                                  "left", scan_is_x=False),
-              vol, img)
+              vol, img, iters=30, reduce_outputs=True)
     # whole-image horizontal pair (pre-transposed operands; the transposes
     # are XLA relayouts measured separately by the full pipeline bench)
     vt = jnp.swapaxes(vol, 1, 2)
@@ -83,8 +85,11 @@ def main():
                                       carry_best=cb, last_img=li)
 
     # sub-0.1 ms ops: the slope method needs hundreds of repetitions or it
-    # reports 0.0 (see utils/timing.py and the census+WTA gotcha)
-    t_blk_fullw = ms(blk, vol_b, img_b, cp, cb, li, iters=400)
+    # reports 0.0 (see utils/timing.py and the census+WTA gotcha); the block
+    # returns 4 leaves whose carries don't consume the lr volume — sum the
+    # full outputs so nothing is DCE'd inside the repeat loop
+    t_blk_fullw = ms(blk, vol_b, img_b, cp, cb, li, iters=400,
+                     reduce_outputs=True)
 
     # the same block at the pipeline's column-block width Wc
     vol_bc = vol[:, :Hs, :Wc]
@@ -96,7 +101,8 @@ def main():
                                       seed=False, carry_prev=cp,
                                       carry_best=cb, last_img=li)
 
-    t_blk_colw = ms(blkc, vol_bc, img_bc, cpc, cbc, lic, iters=800)
+    t_blk_colw = ms(blkc, vol_bc, img_bc, cpc, cbc, lic, iters=800,
+                    reduce_outputs=True)
 
     # n chained full-width blocks vs one whole scan -> per-seam overhead
     def chained(v, i):
@@ -116,7 +122,10 @@ def main():
 
     import jax
 
-    t_chained = ms(chained, vol, img, iters=10)
+    # the concatenated output's first scalar depends only on block 0's lr
+    # (later blocks feed it nothing) — reduce_outputs keeps all n blocks
+    # live inside the repeat loop (the CLAUDE.md DCE trap)
+    t_chained = ms(chained, vol, img, iters=30, reduce_outputs=True)
 
     # chained runs ONE direction; compare against the forward-only whole
     # scan, not the two-direction pair
