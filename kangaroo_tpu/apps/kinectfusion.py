@@ -168,7 +168,8 @@ def raycast_model(vol: TsdfVolume, T_wl, K: Intrinsics, cfg: KinectFusionConfig,
 
 
 def icp_refine(kin_v, ray_v, ray_n, K: Intrinsics, cfg: KinectFusionConfig,
-               K_mats=None, assoc_radius: int | None = None):
+               K_mats=None, assoc_radius: int | None = None,
+               gather_bits: bool = True):
     """Multi-level projective point-plane ICP (main.cpp:293-336).
 
     Returns (T_lp, rmse, tracking_good): the live-from-previous correction,
@@ -196,7 +197,8 @@ def icp_refine(kin_v, ray_v, ray_n, K: Intrinsics, cfg: KinectFusionConfig,
             s = icp_mod.icp_point_plane(kin_v[l], ray_v[l], ray_n[l], KT_lp,
                                         T_pl, cfg.icp_c,
                                         assoc_radius=assoc_radius,
-                                        K_live=K_live)
+                                        K_live=K_live,
+                                        gather_bits=gather_bits)
             s_prior = LSS(
                 s.JTJ + cfg.motion_prior * jnp.eye(6, dtype=jnp.float32),
                 s.JTy, s.sqErr, s.obs,
@@ -222,7 +224,8 @@ def _colour_camera(cfg: KinectFusionConfig):
 
 def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
                     trunc_dist: float, mesh=None,
-                    sweep_axis: int | str = "auto"):
+                    sweep_axis: int | str = "auto",
+                    gather_bits: bool = True):
     """ONE jitted function for the whole frame (main.cpp:190-360): depth
     preprocess -> model raycast pyramid -> multi-level ICP -> gated pose
     update -> TSDF fuse. Requires the separable engine — its fuse/raycast
@@ -293,7 +296,7 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
                 d0, _, _ = separable.raycast_sdf_separable(
                     vol, T_wl, K, cfg.w, cfg.h, cfg.near, cfg.far,
                     trunc_dist=trunc_dist, shade=False,
-                    sweep_axis=sweep_axis)
+                    sweep_axis=sweep_axis, gather_bits=gather_bits)
             # pin the sweep result: its depth pyramid has 6 consumers (vbo +
             # normals per ICP level) and XLA otherwise rematerialises parts
             # of the 256-plane sweep into them
@@ -315,7 +318,8 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
         pixel_lattice = cfg.raycast_downsample or cfg.engine != "separable"
         T_lp, rmse = icp_refine(
             kin_v, ray_v, ray_n, K, cfg, K_mats=K_mats,
-            assoc_radius=cfg.icp_assoc_radius if pixel_lattice else None)
+            assoc_radius=cfg.icp_assoc_radius if pixel_lattice else None,
+            gather_bits=gather_bits)
         good = jnp.isfinite(rmse) & (rmse < cfg.max_rmse)
         T_new = jnp.where(good & ~first,
                           se3.compose(T_wl, se3.inverse(T_lp)), T_wl)
@@ -337,7 +341,7 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
                     vol, cvol, kin_v[0][..., 2], kin_n[0], T_lw, K, rgb,
                     se3.compose(T_cd, T_lw), K_rgb, trunc_dist,
                     cfg.max_w, cfg.min_cos_theta, enable=good | first,
-                    sweep_axis=sweep_axis,
+                    sweep_axis=sweep_axis, gather_bits=gather_bits,
                     near=cfg.near if cfg.fuse_roi else None,
                     far=cfg.far if cfg.fuse_roi else None,
                 )
@@ -353,7 +357,7 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
             fused = separable.sdf_fuse_separable(
                 vol, kin_v[0][..., 2], kin_n[0], T_lw, K, trunc_dist,
                 cfg.max_w, cfg.min_cos_theta, enable=good | first,
-                sweep_axis=sweep_axis,
+                sweep_axis=sweep_axis, gather_bits=gather_bits,
                 near=cfg.near if cfg.fuse_roi else None,
                 far=cfg.far if cfg.fuse_roi else None,
             )
@@ -401,8 +405,10 @@ def make_sequence_runner(K: Intrinsics, cfg: KinectFusionConfig,
     per-frame 'auto' path. 'auto' is still accepted for callers that need
     per-pose axis selection and accept the copies.
     """
+    # inside a scan body the plain f32 gather beats the 16-bit-halves
+    # gather the standalone frame uses (sampling.take_f32 docstring)
     step = make_frame_step(K, cfg, None, trunc_dist, mesh=mesh,
-                           sweep_axis=sweep_axis)
+                           sweep_axis=sweep_axis, gather_bits=False)
 
     if cfg.use_colour:
         @jax.jit

@@ -66,6 +66,28 @@ def _take_bits_bwd(res, ct):
 take_f32_bits.defvjp(_take_bits_fwd, _take_bits_bwd)
 
 
+def take_f32(flat, idx, bits: bool = True):
+    """``jnp.take(flat, idx, axis=0)`` with an explicit route choice.
+
+    ``bits=True`` (default) uses the 16-bit-halves gather — 1.6 ms faster
+    on the standalone one-jit KinectFusion frame. ``bits=False`` uses a
+    plain f32 take — the right choice INSIDE a ``lax.scan`` body, where
+    the bitcast path LOSES 0.64 ms/frame: XLA fuses the plain gather into
+    its consumers, while the bitcast route materialises u16 (2,1)-tiled
+    intermediates that buffer assignment relayout-copies every scan
+    iteration (xplane: copy round trips u16[307200,4] {1,0:T(8,128)} ->
+    {0,1:T(4,128)} -> {1,0}). Both routes are bit-exact.
+
+    The choice is an explicit STATIC argument (threaded from the app
+    layer, e.g. make_frame_step's ``gather_bits``) rather than ambient
+    state: jit's tracing cache is keyed on avals only, so a context-
+    manager flag silently reuses whichever trace happened first.
+    """
+    if not bits:
+        return jnp.take(flat, idx, axis=0)
+    return take_f32_bits(flat, idx)
+
+
 def _clip_xy(img, x, y):
     return jnp.clip(x, 0, img.shape[1] - 1), jnp.clip(y, 0, img.shape[0] - 1)
 

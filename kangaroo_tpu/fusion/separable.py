@@ -379,7 +379,8 @@ def _view_axis_index(T_cw):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_w", "grid_h", "warp", "sweep_axis", "clip_planes"))
+    static_argnames=("grid_w", "grid_h", "warp", "sweep_axis", "clip_planes",
+                     "gather_bits"))
 def sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
                        max_w=1000.0, mincostheta=0.1,
                        grid_w: int | None = None,
@@ -387,7 +388,8 @@ def sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
                        warp: str = "nearest",
                        sweep_axis: int | str = "auto",
                        enable=None, clip_planes: bool = True,
-                       near=None, far=None) -> TsdfVolume:
+                       near=None, far=None,
+                       gather_bits: bool = True) -> TsdfVolume:
     """SdfFuse (cu_sdffusion.cu:16-61) with zero per-voxel gathers.
 
     One warp of the (depth, costheta, valid) image onto the intermediate
@@ -421,20 +423,22 @@ def sdf_fuse_separable(vol: TsdfVolume, depth, normals, T_cw, K, trunc_dist,
             [lambda _, a=a: _sdf_fuse_axis(
                 vol, depth, normals, T_cw, K, trunc_dist, max_w, mincostheta,
                 grid_w, grid_h, warp, a, enable=enable,
-                clip_planes=clip_planes, near=near, far=far)
+                clip_planes=clip_planes, near=near, far=far,
+                gather_bits=gather_bits)
              for a in (0, 1, 2)],
             None,
         )
     return _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
                           mincostheta, grid_w, grid_h, warp, sweep_axis,
                           enable=enable, clip_planes=clip_planes,
-                          near=near, far=far)
+                          near=near, far=far, gather_bits=gather_bits)
 
 
 def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
                    mincostheta, grid_w, grid_h, warp, axis: int,
                    color=None, img=None, T_iw=None, K_img=None, enable=None,
-                   clip_planes: bool = True, near=None, far=None):
+                   clip_planes: bool = True, near=None, far=None,
+                   gather_bits: bool = True):
     order, perm, inv_perm = _ORDER[axis], _PERM[axis], _INV_PERM[axis]
     Hi, Wi = depth.shape
     grid_w = grid_w or Wi
@@ -478,7 +482,8 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
         vi = jnp.clip(jnp.floor(jnp.where(uv_ok, v, 0.0) + 0.5), 0, Hi - 1)
         # 16-bit-halves gather: bit-exact, ~1.6x the f32[N, 2] take
         flat = packed.reshape(-1, 2)
-        G = sampling.take_f32_bits(flat, (vi * Wi + ui).astype(jnp.int32))
+        G = sampling.take_f32(flat, (vi * Wi + ui).astype(jnp.int32),
+                              bits=gather_bits)
     invalid_px = jnp.array([_INVALID_DEPTH, 0.0], jnp.float32)
     G = jnp.where(uv_ok[..., None], G, invalid_px)  # (grid_h, grid_w, 2)
 
@@ -503,7 +508,8 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
         vi2 = jnp.clip(jnp.floor(jnp.where(ok2, v2, 0.0) + 0.5), 0, Hc - 1)
         packed2 = jnp.stack(
             [grey_img, jnp.ones_like(grey_img)], axis=-1).reshape(-1, 2)
-        G2 = sampling.take_f32_bits(packed2, (vi2 * Wc + ui2).astype(jnp.int32))
+        G2 = sampling.take_f32(packed2, (vi2 * Wc + ui2).astype(jnp.int32),
+                               bits=gather_bits)
         G2 = jnp.where(ok2[..., None], G2, 0.0)
         G2m = G2.reshape(grid_h, grid_w * 2)
         A2, g2 = geom2.A, geom2.g
@@ -695,7 +701,8 @@ def _sdf_fuse_axis(vol, depth, normals, T_cw, K, trunc_dist, max_w,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_w", "grid_h", "warp", "sweep_axis", "clip_planes"))
+    static_argnames=("grid_w", "grid_h", "warp", "sweep_axis", "clip_planes",
+                     "gather_bits"))
 def sdf_fuse_color_separable(vol: TsdfVolume, color_vol, depth, normals,
                              T_cw, K, img, T_iw, K_img, trunc_dist,
                              max_w=1000.0, mincostheta=0.1,
@@ -704,7 +711,8 @@ def sdf_fuse_color_separable(vol: TsdfVolume, color_vol, depth, normals,
                              warp: str = "nearest",
                              sweep_axis: int | str = "auto",
                              enable=None, clip_planes: bool = True,
-                             near=None, far=None):
+                             near=None, far=None,
+                             gather_bits: bool = True):
     """Colour-fusing SdfFuse (cu_sdffusion.cu:70-138) on the plane-sweep
     engine: the colour camera gets its own shear-scale-warp factorization
     over the same voxel planes, so the grey sample is two more banded
@@ -719,7 +727,8 @@ def sdf_fuse_color_separable(vol: TsdfVolume, color_vol, depth, normals,
                              max_w, mincostheta, grid_w, grid_h, warp, a,
                              color=color_vol.data, img=img, T_iw=T_iw,
                              K_img=K_img, enable=enable,
-                             clip_planes=clip_planes, near=near, far=far)
+                             clip_planes=clip_planes, near=near, far=far,
+                             gather_bits=gather_bits)
         v, col = out
         return v, BoundedVolume(col, color_vol.bbox)
 
@@ -738,13 +747,14 @@ def sdf_fuse_color_separable(vol: TsdfVolume, color_vol, depth, normals,
 @functools.partial(
     jax.jit,
     static_argnames=("w", "h", "grid_w", "grid_h", "shade", "normals",
-                     "sweep_axis", "output", "clip_planes"))
+                     "sweep_axis", "output", "clip_planes", "gather_bits"))
 def raycast_sdf_separable(vol: TsdfVolume, T_wc, K, w: int, h: int,
                           near=0.1, far=10.0, trunc_dist=None,
                           grid_w: int | None = None, grid_h: int | None = None,
                           shade: bool = True, normals: str = "depth",
                           sweep_axis: int | str = "auto",
-                          output: str = "pixels", clip_planes: bool = True):
+                          output: str = "pixels", clip_planes: bool = True,
+                          gather_bits: bool = True):
     """RaycastSdf (cu_raycast.cu:34-113) as a gather-free plane sweep.
 
     Every volume z-plane resamples onto the intermediate (t, s) grid with
@@ -780,17 +790,18 @@ def raycast_sdf_separable(vol: TsdfVolume, T_wc, K, w: int, h: int,
             idx,
             [lambda _, a=a: _raycast_axis(
                 vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
-                shade, normals, a, output, clip_planes) for a in (0, 1, 2)],
+                shade, normals, a, output, clip_planes, gather_bits)
+             for a in (0, 1, 2)],
             None,
         )
     return _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w,
                          grid_h, shade, normals, sweep_axis, output,
-                         clip_planes)
+                         clip_planes, gather_bits)
 
 
 def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
                   shade, normals, axis: int, output: str = "pixels",
-                  clip_planes: bool = True):
+                  clip_planes: bool = True, gather_bits: bool = True):
     order, perm = _ORDER[axis], _PERM[axis]
     grad_normals = normals == "gradient"
     grid_w = grid_w or w
@@ -1112,7 +1123,7 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
             [qz_hit[..., None], n_w,
              found.astype(jnp.float32)[..., None]], axis=-1
         ).reshape(-1, 5)
-        got = sampling.take_f32_bits(out_pack, flat_idx)
+        got = sampling.take_f32(out_pack, flat_idx, bits=gather_bits)
         hit = inb & (got[..., 4] > 0.5)
         depth = jnp.where(hit, got[..., 0], jnp.nan)
         n_c = se3.rotate_inv(jnp.asarray(T_wc), got[..., 1:4])
@@ -1123,7 +1134,7 @@ def _raycast_axis(vol, T_wc, K, w, h, near, far, trunc_dist, grid_w, grid_h,
 
         # 16-bit-halves gather: bit-exact, 2.7x the f32 take (sampling.py)
         d_pack = jnp.where(found, qz_hit, jnp.nan).reshape(-1)
-        got_d = sampling.take_f32_bits(d_pack, flat_idx)
+        got_d = sampling.take_f32(d_pack, flat_idx, bits=gather_bits)
         hit = inb & jnp.isfinite(got_d)
         depth = jnp.where(hit, got_d, jnp.nan)
         vbo = depth_mod.depth_to_vbo(depth, K)

@@ -16,9 +16,10 @@ from ..core import reweighting, sampling, se3
 from .lss import LSS, reduce_system
 
 
-@functools.partial(jax.jit, static_argnames=("assoc_radius",))
+@functools.partial(jax.jit, static_argnames=("assoc_radius", "gather_bits"))
 def icp_point_plane(points_live, points_ref, normals_ref, KT_lr, T_rl, c,
-                    assoc_radius: int | None = None, K_live=None) -> LSS:
+                    assoc_radius: int | None = None, K_live=None,
+                    gather_bits: bool = True) -> LSS:
     """Build the 6-dof point-plane system (cu_model_refinement.cu:541-608).
 
     points_live: (H, W, 4) live point image ("dPl"); points_ref / normals_ref:
@@ -75,8 +76,9 @@ def icp_point_plane(points_live, points_ref, normals_ref, KT_lr, T_rl, c,
             # 16-bit-halves gather (sampling.take_f32_bits): bit-exact and
             # 2.7x the plain f32 take — this association was the single
             # largest op in the one-jit KF frame (2.2 ms of 5.7, xplane)
-            z = sampling.take_f32_bits(points_live[..., 2].reshape(-1),
-                                       (vi * Wl + ui).astype(jnp.int32))
+            z = sampling.take_f32(points_live[..., 2].reshape(-1),
+                                  (vi * Wl + ui).astype(jnp.int32),
+                                  bits=gather_bits)
             _Pl = reconstruct(z, ui, vi)
         pl_valid = jnp.isfinite(_Pl[..., 2])
     else:

@@ -196,6 +196,41 @@ class TestKinectFusionApp:
         np.testing.assert_allclose(np.asarray(poses2[-1]),
                                    np.asarray(poses[-1]), atol=0.05)
 
+    def test_sequence_runner_scan_uses_plain_gathers(self):
+        """The scan body must trace with plain f32 takes (gather_bits=False)
+        even when the SAME step was already traced standalone with the
+        16-bit-halves gather — the flag is static precisely so jit's
+        aval-keyed tracing cache cannot leak the bits trace into the scan
+        (sampling.take_f32 docstring)."""
+        import jax
+
+        W, H = 64, 48
+        K = kt.Intrinsics.centered(55.0, W, H)
+        cfg = kf.KinectFusionConfig(
+            w=W, h=H, vol_res=48, vol_extent=1.2, max_levels=2, its=(2, 2),
+            near=0.5, far=6.0)
+        pipe = kf.KinectFusion(K, cfg)
+        scene = synthetic.sphere_scene(res=64)
+        (_, d0), = list(synthetic.depth_sequence(1, K, W, H, scene=scene))
+        d0 = jnp.where(jnp.isfinite(d0), d0, 0.0)
+        # standalone frame first: bits trace lands in the tracing cache
+        pipe.process_frame(d0)
+        runner = kf.make_sequence_runner(K, cfg, pipe.trunc_dist,
+                                         sweep_axis=0)
+        depths = jnp.stack([d0, d0])
+        firsts = jnp.zeros(2, bool)
+        jaxpr = jax.make_jaxpr(runner.__wrapped__)(
+            pipe.vol.val, pipe.vol.weight, pipe.T_wl, depths, firsts,
+            pipe.vol.bbox.lo, pipe.vol.bbox.hi)
+        assert "bitcast_convert_type" not in str(jaxpr)
+        # while the standalone step does use the bit gather
+        step = kf.make_frame_step(K, cfg, None, pipe.trunc_dist,
+                                  sweep_axis=0)
+        jaxpr_step = jax.make_jaxpr(step.__wrapped__)(
+            pipe.vol.val, pipe.vol.weight, pipe.T_wl, d0,
+            jnp.zeros((), bool), pipe.vol.bbox.lo, pipe.vol.bbox.hi)
+        assert "bitcast_convert_type" in str(jaxpr_step)
+
     def test_run_sequence_picks_nonz_sweep_axis(self):
         """A sequence whose cameras look along world x must pin the x sweep
         (static axis, make_sequence_runner docstring) and still track like

@@ -151,6 +151,46 @@ class TestSampling:
         assert bool(sampling.in_bounds(img, 19.5, 5.0))
         assert not bool(sampling.in_bounds(img, 1.0, 1.0, border=2))
 
+    def test_take_f32_bits_bit_exact(self, rng):
+        # signaling NaNs / denormals reinterpreted from random bit patterns
+        # must survive the 16-bit-halves round trip exactly (sampling.py)
+        bits = rng.integers(0, 2**32, size=(64, 3), dtype=np.uint32)
+        flat = jnp.asarray(bits).view(jnp.float32)
+        idx = jnp.asarray(rng.integers(0, 64, size=(5, 7)), jnp.int32)
+        got = sampling.take_f32_bits(flat, idx)
+        want = jnp.take(flat, idx, axis=0)
+        assert got.shape == want.shape == (5, 7, 3)
+        np.testing.assert_array_equal(
+            np.asarray(got).view(np.uint32), np.asarray(want).view(np.uint32))
+        # 1-D operand
+        got1 = sampling.take_f32_bits(flat[:, 0], idx.reshape(-1))
+        np.testing.assert_array_equal(
+            np.asarray(got1).view(np.uint32),
+            np.asarray(jnp.take(flat[:, 0], idx.reshape(-1))).view(np.uint32))
+
+    def test_take_f32_bits_grad_is_scatter_add(self, rng):
+        flat = jnp.asarray(rng.random((16,), dtype=np.float32))
+        idx = jnp.array([3, 3, 7], jnp.int32)
+        g = jax.grad(lambda f: sampling.take_f32_bits(f, idx).sum())(flat)
+        want = np.zeros(16, np.float32)
+        want[3], want[7] = 2.0, 1.0
+        np.testing.assert_allclose(np.asarray(g), want)
+
+    def test_take_f32_bits_flag_routes(self, rng):
+        # the route is an explicit STATIC argument, not ambient state —
+        # jit's tracing cache is keyed on avals only, so a context-manager
+        # flag silently reuses whichever trace came first (sampling.py)
+        flat = jnp.asarray(rng.random((32, 2), dtype=np.float32))
+        idx = jnp.asarray(rng.integers(0, 32, size=(9,)), jnp.int32)
+        default = jax.make_jaxpr(sampling.take_f32)(flat, idx)
+        assert "bitcast_convert_type" in str(default)
+        plain = jax.make_jaxpr(
+            lambda f, i: sampling.take_f32(f, i, bits=False))(flat, idx)
+        assert "bitcast_convert_type" not in str(plain)
+        np.testing.assert_array_equal(
+            np.asarray(sampling.take_f32(flat, idx, bits=False)),
+            np.asarray(jnp.take(flat, idx, axis=0)))
+
 
 class TestVolume:
     def test_voxel_positions_corners(self):
