@@ -112,7 +112,7 @@ def raycast_sdf(vol: TsdfVolume, T_wc, K, w: int, h: int, near=0.1, far=10.0,
             ix = jnp.clip(jnp.floor(pf[..., 0] + 0.5), 0, Wv - 1).astype(jnp.int32)
             iy = jnp.clip(jnp.floor(pf[..., 1] + 0.5), 0, Hv - 1).astype(jnp.int32)
             iz = jnp.clip(jnp.floor(pf[..., 2] + 0.5), 0, Dv - 1).astype(jnp.int32)
-            got = sampling.take_f32_bits(packed, (iz * Hv + iy) * Wv + ix)
+            got = sampling.take_f32(packed, (iz * Hv + iy) * Wv + ix)
             return got[..., 0], got[..., 1]
     else:
         def sample_march(pos_w):

@@ -40,7 +40,7 @@ def _project_voxels(vol, depth, normals, T_cw, K, sample: str = "bilinear"):
         packed_flat = packed.reshape(-1, 4)
         ui = jnp.clip(jnp.floor(u + 0.5), 0, Wi - 1).astype(jnp.int32)
         vi = jnp.clip(jnp.floor(v + 0.5), 0, Hi - 1).astype(jnp.int32)
-        got = sampling.take_f32_bits(packed_flat, vi * Wi + ui)
+        got = sampling.take_f32(packed_flat, vi * Wi + ui)
         md = got[..., 0]
         mdn = got[..., 1:4]
     else:
