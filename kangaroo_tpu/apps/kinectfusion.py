@@ -378,7 +378,8 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
 
 def make_sequence_runner(K: Intrinsics, cfg: KinectFusionConfig,
                          trunc_dist: float, mesh=None,
-                         sweep_axis: int | str = 0):
+                         sweep_axis: int | str = 0,
+                         gather_bits: bool = False):
     """ONE jitted program for a whole recorded depth sequence:
     ``lax.scan`` of :func:`make_frame_step` over stacked frames.
 
@@ -405,10 +406,8 @@ def make_sequence_runner(K: Intrinsics, cfg: KinectFusionConfig,
     per-frame 'auto' path. 'auto' is still accepted for callers that need
     per-pose axis selection and accept the copies.
     """
-    # inside a scan body the plain f32 gather beats the 16-bit-halves
-    # gather the standalone frame uses (sampling.take_f32 docstring)
     step = make_frame_step(K, cfg, None, trunc_dist, mesh=mesh,
-                           sweep_axis=sweep_axis, gather_bits=False)
+                           sweep_axis=sweep_axis, gather_bits=gather_bits)
 
     if cfg.use_colour:
         @jax.jit
