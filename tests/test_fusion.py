@@ -155,3 +155,70 @@ class TestFusion:
         updated = np.asarray(vol2.weight) > 0
         assert updated.any()
         np.testing.assert_allclose(np.asarray(cvol2.data)[updated], 128.0 / 255.0, atol=1e-5)
+
+
+class TestGoldenScalarModels:
+    """Independent voxel/pixel-loop golden models (tests/reference_impl.py)
+    for the fuse weight/truncation arithmetic and the sphere-trace march —
+    vectorised-vs-vectorised round trips cannot catch a shared systematic
+    error in e.g. the weighted-average blend (cu_sdffusion.cu:16-61)."""
+
+    def test_fuse_matches_voxel_loop(self):
+        import reference_impl as ref
+
+        res, w, h = 12, 24, 18
+        K = kt.Intrinsics.centered(20.0, w, h)
+        T_wc = se3.make(np.eye(3), [0.05, -0.04, -3.0])
+        T_cw = se3.inverse(T_wc)
+        bbox = kt.BoundingBox.create((-1.2, -1.2, -1.2), (1.2, 1.2, 1.2))
+        trunc = 0.3
+        vol = kt.TsdfVolume.create(res, res, res, bbox, trunc_dist=trunc)
+        # seed a partial prior state so the += blend path is exercised
+        rng = np.random.default_rng(3)
+        w0 = jnp.asarray((rng.random((res, res, res)) < 0.5)
+                         * rng.random((res, res, res)) * 4.0).astype(jnp.float32)
+        v0 = jnp.asarray(rng.standard_normal((res, res, res)) * 0.1).astype(jnp.float32)
+        vol = kt.TsdfVolume(v0, w0, bbox)
+
+        prev = jnp.full((h, w), jnp.nan)
+        depth, _ = rc.raycast_sphere(prev, T_wc, K, (0.0, 0.0, 0.0), 0.9, w, h)
+        vbo = depth_mod.depth_to_vbo(depth, K)
+        norm = depth_mod.normals_from_vbo(vbo)
+
+        got = sdf_mod.sdf_fuse(vol, depth, norm, T_cw, K, trunc, 6.0, 0.1)
+        Kp = (float(K.fu), float(K.fv), float(K.u0), float(K.v0))
+        want_v, want_w = ref.sdf_fuse(
+            np.asarray(v0, np.float64), np.asarray(w0, np.float64),
+            np.asarray(bbox.lo), np.asarray(bbox.hi),
+            np.asarray(depth, np.float64), np.asarray(norm, np.float64),
+            np.asarray(T_cw, np.float64), Kp, trunc, max_w=6.0,
+            mincostheta=0.1)
+        np.testing.assert_allclose(np.asarray(got.weight), want_w,
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.val), want_v,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_raycast_matches_pixel_loop(self):
+        import reference_impl as ref
+
+        res, w, h = 24, 20, 16
+        K = kt.Intrinsics.centered(18.0, w, h)
+        T_wc = se3.make(np.eye(3), [0.0, 0.0, -3.0])
+        bbox = kt.BoundingBox.create((-1.2, -1.2, -1.2), (1.2, 1.2, 1.2))
+        vol = kt.TsdfVolume.create(res, res, res, bbox, trunc_dist=0.2)
+        vol = sdf_mod.sdf_sphere(vol, (0.1, -0.05, 0.0), 0.8)
+
+        depth, _, _ = rc.raycast_sdf(vol, T_wc, K, w, h, near=0.5, far=8.0,
+                                     subpix=True)
+        Kp = (float(K.fu), float(K.fv), float(K.u0), float(K.v0))
+        want = ref.raycast_sdf_depth(
+            np.asarray(vol.val, np.float64), np.asarray(bbox.lo),
+            np.asarray(bbox.hi), np.asarray(T_wc, np.float64), Kp,
+            w, h, near=0.5, far=8.0, subpix=True)
+        got = np.asarray(depth)
+        hit_g, hit_w = np.isfinite(got), np.isfinite(want)
+        # f32 vs f64 marching may disagree at silhouette-grazing pixels
+        assert (hit_g != hit_w).mean() <= 0.02
+        both = hit_g & hit_w
+        assert both.sum() >= 60  # the sphere silhouette is ~77 px here
+        np.testing.assert_allclose(got[both], want[both], atol=2e-3)

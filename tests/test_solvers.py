@@ -255,3 +255,42 @@ class TestIcpAssociationVariants:
         small = icp_mod.icp_point_plane(pts, pts, norm, Km @ T_big, T_rl, 0.1,
                                         assoc_radius=1)
         assert float(small.obs) <= float(exact.obs)
+
+
+class TestIcpGoldenScalarModel:
+    def test_system_matches_pixel_loop(self):
+        """Production fused residual+Jacobian+MXU reduction vs an
+        independent per-pixel accumulation loop (reference_impl.py;
+        PoseRefinementProjectiveIcpPointPlane,
+        cu_model_refinement.cu:541-608)."""
+        import reference_impl as ref
+
+        W, H = 32, 24
+        K = kt.Intrinsics.centered(28.0, W, H)
+        vol = _sphere_scene(32)
+        T_wp = se3.make(np.eye(3), [0.0, 0.0, -3.0])
+        xi = jnp.array([0.02, -0.015, 0.03, 0.01, -0.012, 0.008])
+        T_wl = se3.compose(T_wp, se3.inverse(se3.exp(xi)))
+
+        d_p, n_p, _ = rc.raycast_sdf(vol, T_wp, K, W, H, near=0.5, far=8.0)
+        v_p = depth_mod.depth_to_vbo(d_p, K)
+        d_l, _, _ = rc.raycast_sdf(vol, T_wl, K, W, H, near=0.5, far=8.0)
+        v_l = depth_mod.depth_to_vbo(d_l, K)
+
+        Km = np.asarray(K.matrix())
+        T_lp = se3.identity()
+        KT_lp = jnp.asarray(Km) @ T_lp
+        T_pl = se3.inverse(T_lp)
+        K_live = (Km[0, 0], Km[1, 1], Km[0, 2], Km[1, 2])
+        s = icp.icp_point_plane(v_l, v_p, n_p, KT_lp, T_pl, 0.1,
+                                K_live=K_live)
+        JTJ, JTy, sq, obs = ref.icp_point_plane(
+            np.asarray(v_l, np.float64), np.asarray(v_p, np.float64),
+            np.asarray(n_p, np.float64), np.asarray(KT_lp, np.float64),
+            np.asarray(T_pl, np.float64), 0.1, K_live)
+        assert int(s.obs) == obs
+        np.testing.assert_allclose(np.asarray(s.sqErr), sq, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(s.JTy), JTy, rtol=1e-4,
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(s.JTJ), JTJ, rtol=1e-4,
+                                   atol=1e-7)

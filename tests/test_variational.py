@@ -161,3 +161,39 @@ class TestSolvers:
         )
         hole_err = np.abs(out[10:14, 10:14] - clean[10:14, 10:14]).mean()
         assert hole_err < 0.1
+
+
+class TestWeightedGoldenScalarModels:
+    """The edge-weighted DTAM half-step pair vs reference_impl's scalar
+    loops (WeightedHuberGradU_DualAscentP cu_rof_denoising.cu:114-141,
+    WeightedL2_u_minus_g_PrimalDescent :211-236)."""
+
+    def test_weighted_huber_dual_ascent(self, rng):
+        import reference_impl as ref
+
+        H, W = 6, 7
+        u = rng.random((H, W)).astype(np.float32)
+        g = rng.random((H, W)).astype(np.float32)
+        p = (rng.random((H, W, 2)).astype(np.float32) - 0.5) * 0.8
+        got = np.asarray(rof.weighted_huber_dual_ascent_p(
+            jnp.asarray(p), jnp.asarray(u), jnp.asarray(g), 0.7, 0.002))
+        want = ref.weighted_huber_dual_ascent_p(
+            p.astype(np.float64), u.astype(np.float64),
+            g.astype(np.float64), 0.7, 0.002)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_weighted_l2_primal_descent(self, rng):
+        import reference_impl as ref
+
+        H, W = 6, 7
+        u = rng.random((H, W)).astype(np.float32)
+        a = rng.random((H, W)).astype(np.float32)
+        g = rng.random((H, W)).astype(np.float32)
+        p = (rng.random((H, W, 2)).astype(np.float32) - 0.5) * 0.8
+        got = np.asarray(rof.weighted_l2_primal_descent(
+            jnp.asarray(u), jnp.asarray(p), jnp.asarray(a), jnp.asarray(g),
+            0.7, 12.5))
+        want = ref.weighted_l2_primal_descent(
+            u.astype(np.float64), p.astype(np.float64),
+            a.astype(np.float64), g.astype(np.float64), 0.7, 12.5)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
