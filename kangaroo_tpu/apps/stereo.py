@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -125,25 +126,31 @@ def dtam_solve(vol, img_left, lam, theta_start, sigma_q, sigma_d, huber_alpha,
     coarse disparity here, saving both the init sweep and most of the fine
     iterations.
 
-    On TPU, when the volume + field planes fit VMEM, the whole alternation
-    runs inside ONE Pallas kernel with the cost volume resident in VMEM
-    (stereo/dtam_pallas.py) — the XLA fori_loop below re-streams the volume
-    from HBM on every auxiliary search and is kept as the bit-identical
-    fallback twin.
-    """
-    from .. import backend
-    from ..stereo import dtam_pallas
+    The engine is the XLA fori_loop below — on TPU it is both the FASTEST
+    and the only compiled-correct route (r5 arbitration,
+    scripts/profile_dtam_paths.py + docs/PERF.md):
 
+    - speed: the auxiliary search is two fused streams of the bf16 volume
+      per iteration at the measured HBM rate (~92 us/iter at VGA/64),
+      beating both Pallas formulations (~150 us/iter; the r4 '8.1 ms
+      compute floor' was a floor of those formulations only).
+    - correctness: the whole-solve-in-VMEM Pallas kernel
+      (stereo/dtam_pallas.py) is bit-correct in interpret mode at this
+      exact shape (max diff 4e-6 vs this loop) but its COMPILED TPU
+      lowering diverges from its own interpret semantics (2.9 px max diff
+      after ONE iteration at VGA/64) — a Mosaic compilation defect, so it
+      is no longer dispatched; the module is retained as the
+      interpret-verified study artifact.
+    """
     g_img = img_left.astype(jnp.float32)
     if jnp.issubdtype(jnp.asarray(img_left).dtype, jnp.integer):
         g_img = g_img / 255.0  # float inputs are already on the [0,1] scale
     g = cv.exponential_edge_weight(g_img, g_alpha, g_beta)
+    # pure-XLA init WTA: a lone pallas_call in front of the XLA fori_loop
+    # measured +1.8 ms on the whole solve (its operand/result layout
+    # round-trips serialize against the loop; scripts/profile_dtam_paths)
     d0 = (d_init.astype(jnp.float32) if d_init is not None
-          else fast.cost_vol_minimum_subpix(vol, sd))
-    if backend.use_pallas(dtam_pallas.fits(vol)):
-        return dtam_pallas.dtam_solve(vol, g, d0, lam, theta_start, sigma_q,
-                                      sigma_d, huber_alpha, beta,
-                                      iterations=iterations, sd=sd)
+          else cv.cost_vol_minimum_subpix(vol, sd))
     a0 = d0
     q0 = jnp.zeros(d0.shape + (2,), jnp.float32)
 
@@ -151,7 +158,11 @@ def dtam_solve(vol, img_left, lam, theta_start, sigma_q, sigma_d, huber_alpha,
         d, a, q, theta = carry
         q = rof.weighted_huber_dual_ascent_p(q, d, g, sigma_q, huber_alpha)
         d = rof.weighted_l2_primal_descent(d, q, a, g, sigma_d, 1.0 / theta)
-        a = fast.cost_vol_minimum_square_penalty_subpix(vol, d, lam, theta, sd)
+        # the PURE-XLA sweep, deliberately not the Pallas dispatcher: two
+        # fused bf16 volume streams at HBM rate, ~92 us/iter at VGA/64 vs
+        # ~150 us for either Pallas formulation (docs/PERF.md roofline;
+        # scripts/profile_dtam_paths.py arbitrated all four routes)
+        a = cv.cost_vol_minimum_square_penalty_subpix(vol, d, lam, theta, sd)
         theta = theta * (1.0 - beta * (n + 1.0))
         return (d, a, q, theta)
 
@@ -170,24 +181,18 @@ def dtam_increment(vol, g, d, a, q, theta, n, lam, sigma_q, sigma_d,
     the GLOBAL counter n, state persisting across frames). Returns the
     advanced (d, a, q, theta, n).
 
-    Dispatches to the whole-volume-in-VMEM Pallas kernel
-    (dtam_pallas.dtam_step) when the volume fits; the XLA fori_loop is the
-    bit-identical twin."""
-    from .. import backend
-    from ..stereo import dtam_pallas
-
-    if backend.use_pallas(dtam_pallas.fits(vol)):
-        return dtam_pallas.dtam_step(vol, g, d, a, q, theta, n, lam,
-                                     sigma_q, sigma_d, huber_alpha, beta,
-                                     iterations=iterations, sd=sd)
+    Engine: the XLA fori_loop — fastest AND the only compiled-correct
+    route on TPU (see dtam_solve's docstring; the Pallas twin's compiled
+    lowering diverges from its interpret-mode semantics)."""
 
     def body(i, carry):
         d_, a_, q_, theta_, n_ = carry
         q_ = rof.weighted_huber_dual_ascent_p(q_, d_, g, sigma_q, huber_alpha)
         d_ = rof.weighted_l2_primal_descent(d_, q_, a_, g, sigma_d,
                                             1.0 / theta_)
-        a_ = fast.cost_vol_minimum_square_penalty_subpix(vol, d_, lam,
-                                                         theta_, sd)
+        # pure-XLA sweep on purpose — see dtam_solve's body
+        a_ = cv.cost_vol_minimum_square_penalty_subpix(vol, d_, lam,
+                                                       theta_, sd)
         theta_ = theta_ * (1.0 - beta * n_)
         n_ = n_ + 1.0
         return (d_, a_, q_, theta_, n_)
@@ -214,7 +219,8 @@ def dtam_frame(left, right, state, cfg: StereoConfig, iterations: int = 5):
                                         cfg.filter_eps)
     g = cv.exponential_edge_weight(left_p, cfg.g_alpha, cfg.g_beta)
     if state is None:
-        d0 = fast.cost_vol_minimum_subpix(vol_l, -1)
+        # pure-XLA init on the reset frame — see dtam_solve's d0 note
+        d0 = cv.cost_vol_minimum_subpix(vol_l, -1)
         state = (d0, d0, jnp.zeros(d0.shape + (2,), jnp.float32),
                  jnp.float32(cfg.theta_start), jnp.float32(0.0))
     d, a, q, theta, n = state
@@ -247,6 +253,7 @@ class VariationalStereo:
         self.min_theta = float(min_theta)  # main.cpp:367
         self.state = None
         self.disp = None
+        self._jitted = {}  # (iterations, reset?) -> compiled frame
 
     def reset(self):
         """dtam_reset: the next frame re-initialises from its volume's WTA."""
@@ -256,13 +263,32 @@ class VariationalStereo:
     def theta(self):
         return float(self.state[3]) if self.state is not None else None
 
+    def _frame_fn(self, its: int, fresh: bool):
+        """ONE jitted program per (iterations, reset?) — an eager
+        dtam_frame is hundreds of per-op dispatches, ~4 s/frame through
+        the remote tunnel vs ~2 ms compiled + one ~28 ms round trip."""
+        key = (its, fresh)
+        fn = self._jitted.get(key)
+        if fn is None:
+            cfg = self.cfg
+            if fresh:
+                fn = jax.jit(lambda l, r: dtam_frame(l, r, None, cfg, its))
+            else:
+                fn = jax.jit(
+                    lambda l, r, st: dtam_frame(l, r, st, cfg, its))
+            self._jitted[key] = fn
+        return fn
+
     def process_frame(self, left, right):
         """Run one frame; returns the postprocessed disparity."""
         its = self.its_per_frame
         if self.state is not None and float(self.state[3]) <= self.min_theta:
             its = 0  # converged: the reference stops iterating (main.cpp:368)
-        self.disp, self.state = dtam_frame(left, right, self.state, self.cfg,
-                                           iterations=its)
+        if self.state is None:
+            self.disp, self.state = self._frame_fn(its, True)(left, right)
+        else:
+            self.disp, self.state = self._frame_fn(its, False)(
+                left, right, self.state)
         return self.disp
 
 

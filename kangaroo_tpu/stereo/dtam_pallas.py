@@ -1,6 +1,21 @@
 """Whole-DTAM-alternation Pallas kernel: cost volume + primal-dual state
 resident in VMEM for every iteration.
 
+.. warning:: NOT dispatched in production (r5). Two findings retired it:
+   (a) it is SLOWER than the XLA fori_loop twin on this chip (7.5 vs 4.6
+   ms for the VGA/64 cold-50 solve — the VMEM-resident aux search is
+   VPU-op-bound above the XLA route's two-HBM-stream cost;
+   scripts/profile_dtam_paths.py), and (b) its COMPILED TPU lowering
+   diverges from its own interpret-mode semantics (max 2.9 px difference
+   after ONE iteration at VGA/64, 96% of pixels different after 50, while
+   interpret mode matches the XLA twin to 4e-6 at the same shape, and the
+   same stencil helpers compiled inside variational/pallas_solvers match
+   to 2e-7 over 100 iterations) — i.e. a Mosaic compilation defect
+   specific to this kernel's shape (39 MB VMEM-resident bf16 volume +
+   64-slice unrolled sweep + aliased state), not an algorithm bug. The
+   module is retained as the interpret-verified formulation and for the
+   regression tests that document it.
+
 The XLA fori_loop in apps.stereo.dtam_solve re-streams the full cost volume
 from HBM on every auxiliary exhaustive search (stereo/main.cpp:354-383's
 per-frame alternation; CostVolMinimumSquarePenaltySubpix,
