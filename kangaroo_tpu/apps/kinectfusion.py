@@ -379,9 +379,17 @@ def make_frame_step(K: Intrinsics, cfg: KinectFusionConfig, bbox: BoundingBox,
 def make_sequence_runner(K: Intrinsics, cfg: KinectFusionConfig,
                          trunc_dist: float, mesh=None,
                          sweep_axis: int | str = 0,
-                         gather_bits: bool = False):
+                         gather_bits="fence"):
     """ONE jitted program for a whole recorded depth sequence:
     ``lax.scan`` of :func:`make_frame_step` over stacked frames.
+
+    ``gather_bits="fence"`` (default) routes the association-class
+    gathers through the barrier-fenced 16-bit-halves form
+    (sampling.take_f32): inside the scan body the un-fenced u16
+    intermediates relayout-copy every iteration, so the fenced route wins
+    4.14 ms/frame vs 6.06 plain / 6.77 un-fenced bits at 256^3/VGA,
+    bit-identical poses. (The standalone frame step keeps plain ``True``
+    — un-fenced is 0.4 ms faster there, where the copies pipeline.)
 
     The reference replays recorded logs through the same per-frame loop
     (kinectfusion/main.cpp:190-360, video mode); on a remote TPU each

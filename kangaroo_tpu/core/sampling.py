@@ -40,12 +40,25 @@ def take_f32_bits(flat, idx):
     return _take_bits_fwd_impl(flat, idx)
 
 
-def _take_bits_fwd_impl(flat, idx):
+def _take_bits_fwd_impl(flat, idx, fence: bool = False):
     assert flat.dtype == jnp.float32, flat.dtype
     bits = jax.lax.bitcast_convert_type(flat, jnp.uint16)  # (N[, C], 2)
     if flat.ndim == 2:
         bits = bits.reshape(flat.shape[0], -1)
-    got = jnp.take(bits, idx, axis=0)
+    if fence:
+        # fence the u16 buffers: without barriers XLA fuses the bitcasts
+        # into neighbours and layout assignment relayout-copies the u16
+        # intermediates ({1,0:T(8,128)} <-> {0,1:T(4,128)} round trips).
+        # In a STANDALONE program those copies pipeline with adjacent
+        # dispatches and the fence only blocks useful fusion (KF frame
+        # 4.08 unfenced vs 4.51 fenced) — but inside a lax.scan body they
+        # SERIALIZE every iteration, and the fenced gather measured 4.14
+        # vs 6.77 ms/frame on the KF sequence replay. Hence the tri-state
+        # route (take_f32): unfenced standalone, fenced in scan bodies.
+        bits = jax.lax.optimization_barrier(bits)
+        got = jax.lax.optimization_barrier(jnp.take(bits, idx, axis=0))
+    else:
+        got = jnp.take(bits, idx, axis=0)
     out = jax.lax.bitcast_convert_type(
         got.reshape(*idx.shape, flat.shape[1], 2) if flat.ndim == 2 else got,
         jnp.float32)
@@ -66,17 +79,34 @@ def _take_bits_bwd(res, ct):
 take_f32_bits.defvjp(_take_bits_fwd, _take_bits_bwd)
 
 
-def take_f32(flat, idx, bits: bool = True):
-    """``jnp.take(flat, idx, axis=0)`` with an explicit route choice.
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def take_f32_bits_fenced(flat, idx):
+    """:func:`take_f32_bits` with the u16 buffers optimization_barrier-
+    fenced — the scan-body variant (see _take_bits_fwd_impl). Bit-exact
+    and same VJP."""
+    return _take_bits_fwd_impl(flat, idx, fence=True)
 
-    ``bits=True`` (default) uses the 16-bit-halves gather — 1.6 ms faster
-    on the standalone one-jit KinectFusion frame. ``bits=False`` uses a
-    plain f32 take — the right choice INSIDE a ``lax.scan`` body, where
-    the bitcast path LOSES 0.64 ms/frame: XLA fuses the plain gather into
-    its consumers, while the bitcast route materialises u16 (2,1)-tiled
-    intermediates that buffer assignment relayout-copies every scan
-    iteration (xplane: copy round trips u16[307200,4] {1,0:T(8,128)} ->
-    {0,1:T(4,128)} -> {1,0}). Both routes are bit-exact.
+
+def _take_bits_fenced_fwd(flat, idx):
+    return _take_bits_fwd_impl(flat, idx, fence=True), (idx, flat.shape)
+
+
+take_f32_bits_fenced.defvjp(_take_bits_fenced_fwd, _take_bits_bwd)
+
+
+def take_f32(flat, idx, bits=True):
+    """``jnp.take(flat, idx, axis=0)`` with an explicit tri-state route.
+
+    - ``bits=True`` (default): the 16-bit-halves gather — 1.6 ms faster
+      than the plain take on the standalone one-jit KinectFusion frame.
+    - ``bits="fence"``: the same gather with its u16 buffers
+      optimization_barrier-fenced — the route for ``lax.scan`` bodies,
+      where the un-fenced form's u16 relayout copies serialize every
+      iteration (replay 6.77 ms/frame un-fenced bits, 6.06 plain, 4.14
+      fenced) while the fence costs ~0.4 ms in standalone programs whose
+      copies would have pipelined (KF frame 4.08 -> 4.51).
+    - ``bits=False``: plain f32 take.
+    All three routes are bit-exact.
 
     The choice is an explicit STATIC argument (threaded from the app
     layer, e.g. make_frame_step's ``gather_bits``) rather than ambient
@@ -85,6 +115,8 @@ def take_f32(flat, idx, bits: bool = True):
     """
     if not bits:
         return jnp.take(flat, idx, axis=0)
+    if bits == "fence":
+        return take_f32_bits_fenced(flat, idx)
     return take_f32_bits(flat, idx)
 
 

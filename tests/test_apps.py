@@ -196,12 +196,14 @@ class TestKinectFusionApp:
         np.testing.assert_allclose(np.asarray(poses2[-1]),
                                    np.asarray(poses[-1]), atol=0.05)
 
-    def test_sequence_runner_scan_uses_plain_gathers(self):
-        """The scan body must trace with plain f32 takes (gather_bits=False)
-        even when the SAME step was already traced standalone with the
-        16-bit-halves gather — the flag is static precisely so jit's
-        aval-keyed tracing cache cannot leak the bits trace into the scan
-        (sampling.take_f32 docstring)."""
+    def test_sequence_runner_scan_uses_fenced_bits_gathers(self):
+        """The scan body traces with the 16-bit-halves gathers and the u16
+        buffers are optimization_barrier-fenced — un-fenced, layout
+        assignment relayout-copies the u16 intermediates every scan
+        iteration (6.77 vs 4.14 ms/frame measured; sampling.take_f32 /
+        _take_bits_fwd_impl docstrings). gather_bits stays a STATIC
+        argument so jit's aval-keyed tracing cache cannot silently reuse a
+        differently-routed trace."""
         import jax
 
         W, H = 64, 48
@@ -219,10 +221,11 @@ class TestKinectFusionApp:
                                          sweep_axis=0)
         depths = jnp.stack([d0, d0])
         firsts = jnp.zeros(2, bool)
-        jaxpr = jax.make_jaxpr(runner.__wrapped__)(
+        jaxpr = str(jax.make_jaxpr(runner.__wrapped__)(
             pipe.vol.val, pipe.vol.weight, pipe.T_wl, depths, firsts,
-            pipe.vol.bbox.lo, pipe.vol.bbox.hi)
-        assert "bitcast_convert_type" not in str(jaxpr)
+            pipe.vol.bbox.lo, pipe.vol.bbox.hi))
+        assert "bitcast_convert_type" in jaxpr
+        assert "optimization_barrier" in jaxpr
         # while the standalone step does use the bit gather
         step = kf.make_frame_step(K, cfg, None, pipe.trunc_dist,
                                   sweep_axis=0)
