@@ -118,3 +118,69 @@ def multiview_track(w: int = 320, h: int = 240, max_disp: int = 32,
         for f in fractions
     ]
     return keyframe, jnp.asarray(disp.astype(np.float32)), track
+
+
+def kinect_noise(depth, seed: int = 0, sigma0: float = 0.0012,
+                 sigma1: float = 0.0019, dropout: float = 0.07,
+                 quantize: bool = True, f: float = 580.0,
+                 baseline: float = 0.075):
+    """Kinect-realistic corruption of a clean metric depth image.
+
+    The reference's whole front end exists because live Kinect depth is
+    noisy: FilterBadKinectData (src/cu_depth_tools.cu:32-53), the
+    minval-masked bilateral (src/cu_bilateral.cu:59-104) and the rmse
+    divergence gate (applications/kinectfusion/main.cpp:320-346). This
+    models the sensor's three failure modes so system-level robustness is
+    measurable on synthetic sequences (bench.py quality_metrics *_noisy):
+
+    - axial noise, quadratic in depth: sigma(z) = sigma0 + sigma1*(z-0.4)^2
+      (Nguyen, Izadi & Lovell 2012, "Modeling Kinect sensor noise");
+    - disparity quantisation: the sensor measures d = f*b/z on a 1/8-pixel
+      lattice, so returned depth is z_q = f*b / (round(8*f*b/z)/8);
+    - dropout holes: smoothly-clumped blobs of invalid pixels (NaN),
+      covering ~``dropout`` of the image (occlusion shadows / absorbing
+      surfaces), plus everything nearer than 0.4 m (the sensor's min
+      range, the FilterBadKinectData threshold class).
+
+    Deterministic per ``seed``. Returns float32 with NaN invalid, like the
+    driver's input convention.
+    """
+    rng = np.random.default_rng(seed)
+    z = np.asarray(depth, np.float32).copy()
+    valid = np.isfinite(z) & (z > 0)
+    sig = sigma0 + sigma1 * (z - 0.4) ** 2
+    z = z + sig * rng.standard_normal(z.shape).astype(np.float32)
+    if quantize:
+        fb = f * baseline
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = fb / (np.round(8.0 * fb / z) / 8.0)
+    # clumped dropout: threshold a box-smoothed noise field at the
+    # requested quantile so holes come as blobs, not salt-and-pepper
+    field = rng.random(z.shape).astype(np.float32)
+    k = np.ones(9, np.float32) / 9.0
+    for axis in (0, 1):
+        field = np.apply_along_axis(
+            lambda m: np.convolve(m, k, mode="same"), axis, field)
+    if dropout > 0:
+        hole = field < np.quantile(field[valid], dropout)
+        z[hole] = np.nan
+    z[~valid] = np.nan
+    z[z < 0.4] = np.nan
+    return jnp.asarray(z)
+
+
+def noisy_stereo_pair(w: int = 640, h: int = 480, max_disp: int = 64,
+                      seed: int = 0, sigma: float = 6.0, gain: float = 1.06,
+                      offset: float = 4.0):
+    """``stereo_pair`` with photometric corruption: independent Gaussian
+    pixel noise (sigma grey levels) on each eye plus a gain/offset
+    mismatch on the right — the radiometric differences census matching
+    exists to survive (census is ordinal, cu_census.cu:18-46). Returns
+    (left, right, gt_disp) uint8/uint8/float32."""
+    left, right, gt = stereo_pair(w, h, max_disp, seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    l = np.asarray(left, np.float32) + sigma * rng.standard_normal((h, w))
+    r = (gain * np.asarray(right, np.float32) + offset
+         + sigma * rng.standard_normal((h, w)))
+    to_u8 = lambda a: jnp.asarray(np.clip(a, 0, 255).astype(np.uint8))
+    return to_u8(l), to_u8(r), gt
