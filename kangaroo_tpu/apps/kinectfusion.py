@@ -767,15 +767,21 @@ class KinectFusion:
             d, n, phong, self.keyframes[-10:], T_wd, self.K.level(level))
         return d, n, rgba
 
-    def save_mesh(self, path: str):
-        """'s' key: marching cubes -> mesh file (main.cpp:186-188)."""
+    def save_mesh(self, path: str, method: str = "tet"):
+        """'s' key: marching cubes -> mesh file (main.cpp:186-188).
+
+        ``method="tet"`` (default) extracts with marching tetrahedra;
+        ``method="mc"`` with the classic per-cube 256-case tables
+        (fusion/marching_cubes256.py) — reference-style triangulation
+        (MarchingCubes.h:43-144) at ~1/3 the triangle count."""
         from ..fusion import marching_cubes as mc
+        from ..fusion import marching_cubes256 as mc256
 
         vol = TsdfVolume(
             jnp.where(jnp.isfinite(self.vol.val), self.vol.val, self.trunc_dist),
             self.vol.weight, self.vol.bbox,
         )
-        tris = mc.extract_mesh(vol)
+        tris = (mc256 if method == "mc" else mc).extract_mesh(vol)
         mc.save_ply(path, tris)
         return tris
 
