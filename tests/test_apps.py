@@ -617,6 +617,54 @@ class TestQuantitativeGates:
         assert max(t_err) < 0.08, t_err
         assert max(r_err) < 2.0, r_err
 
+    def test_kinect_noise_orbit_and_gate_recovery(self):
+        """The bench's robustness block at test scale (bench.py
+        quality_metrics *_noisy / gate demo): tracking holds under
+        synthetic.kinect_noise corruption (quadratic axial noise, 1/8-px
+        quantisation, clumped NaN dropout), the rmse gate fires on an
+        injected garbage frame WITHOUT moving the pose, and tracking
+        recovers on the following clean frames
+        (kinectfusion/main.cpp:320-346 semantics)."""
+        W, H = 64, 48
+        K = kt.Intrinsics.centered(55.0, W, H)
+        cfg = kf.KinectFusionConfig(
+            w=W, h=H, vol_res=48, vol_extent=1.2, max_levels=2, its=(2, 2),
+            near=0.5, far=6.0, max_rmse=0.3, bilateral_minval=0.2,
+        )
+        pipe = kf.KinectFusion(K, cfg)
+        scene = synthetic.sphere_scene(res=64)
+        frames = list(synthetic.depth_sequence(8, K, W, H, scene=scene,
+                                               step=0.012))
+        rng_g = np.random.default_rng(7)
+        garbage = jnp.asarray(
+            (1.0 + 2.0 * rng_g.random((H, W))).astype(np.float32))
+        fired = pose_held = None
+        t_err = []
+        for i, (T_wc, depth) in enumerate(frames):
+            noisy = synthetic.kinect_noise(depth, seed=100 + i,
+                                           f=55.0, baseline=0.3)
+            noisy = jnp.where(jnp.isfinite(noisy), noisy, 0.0)
+            if i == 0:
+                pipe.T_wl = T_wc
+            if i == 4:
+                before = np.asarray(pipe.T_wl)
+                pipe.process_frame(garbage)
+                fired = not pipe.tracking_good
+                pose_held = bool(np.array_equal(np.asarray(pipe.T_wl),
+                                                before))
+            est = np.asarray(pipe.process_frame(noisy))
+            t_err.append(np.linalg.norm(est[:, 3] - np.asarray(T_wc)[:, 3]))
+        assert fired, "rmse gate did not fire on the garbage frame"
+        assert pose_held, "gated frame must not move the pose"
+        assert pipe.tracking_good
+        # noise-corrupted tracking: bounded, non-diverging drift. At this
+        # test scale the quantisation step alone is dz = z^2/(8 f b)
+        # ~ 0.07 per 1/8 px, so the floor is ~2 voxels; the claim here is
+        # the CODE PATH + gate semantics (precision is the TPU bench's
+        # VGA-scale job, bench.py kinectfusion_noisy_*)
+        assert t_err[-1] < 0.15, t_err
+        assert float(np.sqrt(np.mean(np.square(t_err)))) < 0.12, t_err
+
     def test_fused_mesh_vertex_distance_to_analytic_sdf(self):
         from kangaroo_tpu.fusion import marching_cubes as mc
         from kangaroo_tpu.fusion import raycast as rc
