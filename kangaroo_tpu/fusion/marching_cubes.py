@@ -31,7 +31,12 @@ _TETS = np.array(
 )
 
 # triangle emission table: for each 4-bit inside-code, list of edges (pairs of
-# tet-vertex indices); mirrors the C++ switch
+# tet-vertex indices); mirrors the C++ switch. Winding is CONSISTENT (r5):
+# every kTets entry is positively oriented (det > 0), and each case's
+# triangles are ordered so normals point toward the val > iso side
+# (verified per case against the linear interpolant's gradient — the
+# original quad cases were uniformly reversed, leaving 47% of sphere
+# normals inward).
 _CASES = {
     1: [(0, 1), (0, 2), (0, 3)],
     14: [(0, 2), (0, 1), (0, 3)],
@@ -41,12 +46,12 @@ _CASES = {
     11: [(2, 1), (2, 0), (2, 3)],
     8: [(3, 0), (3, 2), (3, 1)],
     7: [(3, 2), (3, 0), (3, 1)],
-    3: [(0, 2), (1, 2), (1, 3), (0, 2), (1, 3), (0, 3)],
-    12: [(1, 2), (0, 2), (1, 3), (1, 3), (0, 2), (0, 3)],
-    5: [(0, 1), (2, 3), (2, 1), (0, 1), (0, 3), (2, 3)],
-    10: [(2, 3), (0, 1), (2, 1), (0, 3), (0, 1), (2, 3)],
-    6: [(1, 0), (2, 0), (2, 3), (1, 0), (2, 3), (1, 3)],
-    9: [(2, 0), (1, 0), (2, 3), (2, 3), (1, 0), (1, 3)],
+    3: [(0, 2), (1, 3), (1, 2), (0, 2), (0, 3), (1, 3)],
+    12: [(1, 2), (1, 3), (0, 2), (1, 3), (0, 3), (0, 2)],
+    5: [(0, 1), (2, 1), (2, 3), (0, 1), (2, 3), (0, 3)],
+    10: [(2, 3), (2, 1), (0, 1), (0, 3), (2, 3), (0, 1)],
+    6: [(1, 0), (2, 3), (2, 0), (1, 0), (1, 3), (2, 3)],
+    9: [(2, 0), (2, 3), (1, 0), (2, 3), (1, 3), (1, 0)],
 }
 
 

@@ -90,7 +90,11 @@ int64_t mt_extract(const float *vol, const float *weight, int64_t d, int64_t h,
           int n = 0;
           // Enumerate the 14 non-trivial sign configurations. One-inside and
           // one-outside cases give a triangle; two-inside gives a quad
-          // (two triangles). Vertex winding: inside (< iso) treated as solid.
+          // (two triangles). Vertex winding (r5): every kTets entry is
+          // positively oriented, and each case's triangles are ordered so
+          // normals point toward the val > iso side (per-case verified
+          // against the linear interpolant's gradient; mirrors the Python
+          // _CASES table exactly).
           switch (code) {
             case 1:  out[0]=E(0,1); out[1]=E(0,2); out[2]=E(0,3); n=3; break;
             case 14: out[0]=E(0,2); out[1]=E(0,1); out[2]=E(0,3); n=3; break;
@@ -101,23 +105,23 @@ int64_t mt_extract(const float *vol, const float *weight, int64_t d, int64_t h,
             case 8:  out[0]=E(3,0); out[1]=E(3,2); out[2]=E(3,1); n=3; break;
             case 7:  out[0]=E(3,2); out[1]=E(3,0); out[2]=E(3,1); n=3; break;
             case 3:  // 0,1 inside
-              out[0]=E(0,2); out[1]=E(1,2); out[2]=E(1,3);
-              out[3]=E(0,2); out[4]=E(1,3); out[5]=E(0,3); n=6; break;
+              out[0]=E(0,2); out[1]=E(1,3); out[2]=E(1,2);
+              out[3]=E(0,2); out[4]=E(0,3); out[5]=E(1,3); n=6; break;
             case 12:
-              out[0]=E(1,2); out[1]=E(0,2); out[2]=E(1,3);
-              out[3]=E(1,3); out[4]=E(0,2); out[5]=E(0,3); n=6; break;
+              out[0]=E(1,2); out[1]=E(1,3); out[2]=E(0,2);
+              out[3]=E(1,3); out[4]=E(0,3); out[5]=E(0,2); n=6; break;
             case 5:  // 0,2 inside
-              out[0]=E(0,1); out[1]=E(2,3); out[2]=E(2,1);
-              out[3]=E(0,1); out[4]=E(0,3); out[5]=E(2,3); n=6; break;
+              out[0]=E(0,1); out[1]=E(2,1); out[2]=E(2,3);
+              out[3]=E(0,1); out[4]=E(2,3); out[5]=E(0,3); n=6; break;
             case 10:
-              out[0]=E(2,3); out[1]=E(0,1); out[2]=E(2,1);
-              out[3]=E(0,3); out[4]=E(0,1); out[5]=E(2,3); n=6; break;
+              out[0]=E(2,3); out[1]=E(2,1); out[2]=E(0,1);
+              out[3]=E(0,3); out[4]=E(2,3); out[5]=E(0,1); n=6; break;
             case 6:  // 1,2 inside
-              out[0]=E(1,0); out[1]=E(2,0); out[2]=E(2,3);
-              out[3]=E(1,0); out[4]=E(2,3); out[5]=E(1,3); n=6; break;
+              out[0]=E(1,0); out[1]=E(2,3); out[2]=E(2,0);
+              out[3]=E(1,0); out[4]=E(1,3); out[5]=E(2,3); n=6; break;
             case 9:
-              out[0]=E(2,0); out[1]=E(1,0); out[2]=E(2,3);
-              out[3]=E(2,3); out[4]=E(1,0); out[5]=E(1,3); n=6; break;
+              out[0]=E(2,0); out[1]=E(2,3); out[2]=E(1,0);
+              out[3]=E(2,3); out[4]=E(1,3); out[5]=E(1,0); n=6; break;
           }
           for (int i = 0; i < n; ++i) {
             tris.push_back(out[i].x);

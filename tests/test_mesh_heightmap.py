@@ -25,6 +25,17 @@ class TestMarchingTets:
         np.testing.assert_allclose(radii.mean(), 0.7, atol=0.02)
         assert radii.std() < 0.03
 
+    def test_consistent_outward_winding(self):
+        """Every triangle's normal points toward val > iso (away from the
+        solid): the r5 fix — the quad cases of the tet table were
+        uniformly reversed, leaving ~half the sphere's normals inward."""
+        vol = _sphere()
+        tris = mc.extract_mesh(vol, use_native=False)
+        n = np.cross(tris[:, 1] - tris[:, 0], tris[:, 2] - tris[:, 0])
+        dots = (n * tris.mean(1)).sum(1)
+        area2 = np.linalg.norm(n, axis=1)
+        assert (dots[area2 > 1e-12] > 0).all()
+
     def test_native_matches_numpy(self):
         vol = _sphere(16)
         t_np = mc.extract_mesh(vol, use_native=False)
