@@ -204,3 +204,30 @@ class TestFrameParallel:
         single = stereo_sgm.sgm_pipeline(pairs[3][0], pairs[3][1], cfg)
         np.testing.assert_allclose(np.asarray(out[3]), np.asarray(single),
                                    equal_nan=True, atol=1e-5)
+
+    def test_frame_parallel_smoke_census_wta(self):
+        """Smoke-tier frame_parallel coverage: same sharded-batch lift as the
+        full-pipeline equality above (heavy-marked) but with a cheap-to-compile
+        census + WTA body, so the mechanics (leading-axis sharding, per-device
+        vmap, spec construction) stay covered in the <15 min tier."""
+        assert jax.device_count() >= 8
+        from kangaroo_tpu.apps import stereo as stereo_app
+        from kangaroo_tpu.stereo import dispatch as fast
+
+        mesh = mesh_mod.make_mesh(8)
+        scfg = stereo_app.StereoConfig(max_disp=8, census_window="9x7")
+
+        def one(l, r):
+            lp = stereo_app.preprocess_intensity(l, scfg)
+            rp = stereo_app.preprocess_intensity(r, scfg)
+            return fast.cost_vol_minimum_subpix(
+                stereo_app.cost_volume(lp, rp, scfg))
+
+        pairs = [synthetic.stereo_pair(64, 32, 8, seed=s) for s in range(8)]
+        lb = jnp.stack([p[0] for p in pairs])
+        rb = jnp.stack([p[1] for p in pairs])
+        out = batch_mod.frame_parallel(one, mesh)(lb, rb)
+        assert out.shape == (8, 32, 64)
+        single = one(pairs[5][0], pairs[5][1])
+        np.testing.assert_allclose(np.asarray(out[5]), np.asarray(single),
+                                   equal_nan=True, atol=1e-5)
